@@ -1,0 +1,42 @@
+"""Device prefetch: overlap host batch prep with TPU compute.
+
+The training loop keeps small corpora fully device-resident (zero host
+traffic in the hot loop); this iterator is for corpora that don't fit in
+HBM — it keeps ``buffer_size`` batches in flight so the host->device DMA of
+batch k+1 overlaps step k's compute.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterable, Iterator
+
+import jax
+
+
+def device_prefetch(
+    batches: Iterable,
+    buffer_size: int = 2,
+    sharding: jax.sharding.Sharding | None = None,
+) -> Iterator:
+    """Yield device arrays while keeping ``buffer_size`` transfers in flight."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    it = iter(batches)
+    try:
+        for _ in range(buffer_size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

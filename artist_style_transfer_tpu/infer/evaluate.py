@@ -1,0 +1,70 @@
+"""Quantitative evaluation via the artist classifier (reference inference.py:153-166).
+
+The repo's only quantitative quality metric: stylize content images, center
+crop 256, torchvision-normalize, classify, report top-1 accuracy against
+the target artist. The reference runs image-by-image with host round-trips;
+here the whole stylize->crop->normalize->classify pipeline is one jitted
+batched graph.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artist_style_transfer_tpu.models.resnet import classifier_apply
+from artist_style_transfer_tpu.models.transformer import transformer_apply
+from artist_style_transfer_tpu.ops.image import (
+    bgr_to_rgb,
+    center_crop,
+    torchvision_normalize,
+)
+
+
+@jax.jit
+def _eval_batch(params, clf_params, images_bgr_255: jax.Array) -> jax.Array:
+    """Predicted class per image: stylize -> uint8 clip -> crop -> classify."""
+    out = transformer_apply(params, images_bgr_255)
+    # The reference quantizes to uint8 before the classifier transform
+    # (inference.py:116 -> :154); reproduce the rounding.
+    out = jnp.floor(jnp.clip(out, 0.0, 255.0))
+    crop = center_crop(out, 256)
+    rgb01 = bgr_to_rgb(crop) / 255.0
+    logits = classifier_apply(clf_params, torchvision_normalize(rgb01))
+    return jnp.argmax(logits, axis=-1)
+
+
+def evaluate_with_classifier(
+    params,
+    classifier_params,
+    content_images: np.ndarray,
+    artist_index: int,
+    batch_size: int = 4,
+    wordy: bool = True,
+    artists: tuple[str, ...] | None = None,
+) -> float:
+    """Top-1 accuracy of the classifier recognizing the target artist.
+
+    ``content_images``: (N, H, W, 3) BGR [0,255]. Returns accuracy in %
+    rounded to 2 decimals, as the reference prints (inference.py:166).
+    """
+    n = len(content_images)
+    preds = np.zeros((n,), np.int64)
+    for i in range(0, n, batch_size):
+        chunk = content_images[i : i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        p = np.asarray(_eval_batch(params, classifier_params, jnp.asarray(chunk, jnp.float32)))
+        preds[i : i + batch_size - pad] = p[: batch_size - pad]
+    correct = int((preds == artist_index).sum())
+    if wordy and artists is not None:
+        for i, p in enumerate(preds):
+            print(f"Pred={artists[p]}\tActual={artists[artist_index]}\timage_num={i + 1}")
+    acc = round(100.0 * correct / max(1, n), 2)
+    if wordy:
+        print(f"Acc={acc}")  # inference.py:166
+    return acc

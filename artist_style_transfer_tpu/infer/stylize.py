@@ -1,0 +1,138 @@
+"""Feed-forward stylization (reference inference.py:104-125).
+
+The jitted path takes NHWC BGR [0,255] float32 and returns the clipped
+uint8 BGR result. Shapes are bucketed (powers-of-two pad) to bound the
+number of compilations across arbitrary input sizes — the fully
+convolutional net accepts any even H, W (SURVEY §5 'long-context' analog).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artist_style_transfer_tpu.models.transformer import transformer_apply
+
+
+@functools.partial(jax.jit, static_argnames=("clip",))
+def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
+    """Stylize a batch: NHWC BGR [0,255] -> NHWC BGR (uint8 if clip).
+
+    Clipping to [0,255] matches the reference's save-time clip
+    (inference.py:116, train_cnn.py:112).
+    """
+    out = transformer_apply(params, images_bgr_255.astype(jnp.float32))
+    if clip:
+        out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+    return out
+
+
+def stylize_batched(params, images: list[np.ndarray], batch_size: int = 8) -> list[np.ndarray]:
+    """Stylize variable-sized images, batching same-shaped ones together.
+
+    Images are grouped by exact (H, W) — one jit compilation per distinct
+    shape (the common evaluation path resizes everything to one size, so
+    normally a single compile). Padding-based bucketing is deliberately NOT
+    used: zero padding shifts the instance-norm statistics and changes the
+    output everywhere, not just in the padded margin.
+
+    Output spatial size follows the net's conv arithmetic, as in the
+    reference: equal to the input for H, W divisible by 4, else up to 2 px
+    larger (cnn.py topology; inference.py feeds arbitrary sizes).
+    Returns uint8 BGR HWC arrays.
+    """
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, im in enumerate(images):
+        groups.setdefault((im.shape[0], im.shape[1]), []).append(i)
+
+    results: list[np.ndarray | None] = [None] * len(images)
+    for _, idxs in groups.items():
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            batch = np.stack([images[i] for i in chunk]).astype(np.float32)
+            out = np.asarray(stylize(params, jnp.asarray(batch)))
+            for j, i in enumerate(chunk):
+                results[i] = out[j]
+    return results  # type: ignore[return-value]
+
+
+def load_transfer_params(path: str):
+    """Load TransformerNet params from ``.pth`` (reference format) or ``.npz``
+    (this framework's inference artifact).
+
+    Mirrors ``StyleTransfer(state_dict_filename=...)`` (cnn.py:41-42). The
+    ``.ckpt`` orbax checkpoints carry optimizer state and are for training
+    resume; training always writes a sibling ``.npz`` for inference.
+    """
+    if path.endswith(".pth"):
+        from artist_style_transfer_tpu.utils.torch_import import (
+            load_torch_state_dict,
+            transformer_params_from_torch,
+        )
+
+        return transformer_params_from_torch(load_torch_state_dict(path))
+    from artist_style_transfer_tpu.models.transformer import init_transformer_params
+    from artist_style_transfer_tpu.train.checkpoint import load_params_npz
+
+    template = init_transformer_params(jax.random.key(0))
+    return load_params_npz(path, template)
+
+
+def gaussian_blur_3x3(image_hwc: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """cv2.GaussianBlur(ksize=(3,3)) equivalent (reference inference.py:120)."""
+    # cv2's 3-tap Gaussian kernel for given sigma
+    xs = np.arange(-1, 2, dtype=np.float64)
+    k = np.exp(-(xs**2) / (2 * sigma * sigma))
+    k /= k.sum()
+    pad = np.pad(image_hwc.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = (
+        pad[:-2] * k[0] + pad[1:-1] * k[1] + pad[2:] * k[2]
+    )
+    out = out[:, :-2] * k[0] + out[:, 1:-1] * k[1] + out[:, 2:] * k[2]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def sharpen(image_hwc: np.ndarray, sharpen_val: float = 50.0) -> np.ndarray:
+    """cv2.filter2D sharpen kernel from the reference (inference.py:123-125)."""
+    kern = np.array([[-1, -1, -1], [-1, sharpen_val, -1], [-1, -1, -1]], np.float64) / (
+        sharpen_val - 8
+    )
+    pad = np.pad(image_hwc.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = np.zeros_like(image_hwc, np.float64)
+    for dy in range(3):
+        for dx in range(3):
+            out += pad[dy : dy + image_hwc.shape[0], dx : dx + image_hwc.shape[1]] * kern[dy, dx]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def save_figure(
+    fig_path: str,
+    content_bgr: np.ndarray,
+    out_bgr: np.ndarray,
+    style_bgr: np.ndarray | None = None,
+) -> None:
+    """2-/3-panel Content/Style/Transformed figure (reference inference.py:126-152).
+
+    Uses the non-interactive Agg backend — figure writing never blocks compute.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    panels = 3 if style_bgr is not None else 2
+    fig = plt.figure(figsize=(18, 5))
+    titles = ["Content", "Style", "Transformed"] if panels == 3 else ["Content", "Transformed"]
+    imgs = [content_bgr, style_bgr, out_bgr] if panels == 3 else [content_bgr, out_bgr]
+    for i, (img, title) in enumerate(zip(imgs, titles)):
+        ax = fig.add_subplot(1, panels, i + 1)
+        ax.imshow(np.clip(img, 0, 255).astype(np.uint8)[..., ::-1], interpolation="nearest", aspect="auto")
+        ax.set_title(title, fontsize=28)
+        ax.axis("off")
+    os.makedirs(os.path.dirname(fig_path) or ".", exist_ok=True)
+    fig.savefig(fig_path)
+    plt.close(fig)

@@ -1,0 +1,149 @@
+"""Inference CLI — ``python -m artist_style_transfer_tpu.inference``.
+
+Function+flag API replacing the reference's edit-the-source script
+(inference.py:24-52 constants; the module runs on import there). Two modes,
+as in the reference:
+
+- display (default): stylize one content image, optional blur/sharpen,
+  write a 2/3-panel figure to figs/<artist>_<method>.png
+  (inference.py:70-152)
+- --no-display: quantitative eval — stylize up to --num_images content
+  images and report classifier accuracy 'Acc=...' (inference.py:153-166)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from artist_style_transfer_tpu.models.resnet import ARTISTS_19
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--style_method", default="random")
+    p.add_argument("--artist", default="Pablo_Picasso")
+    p.add_argument("--model_filename", default=None,
+                   help="checkpoint inside models/<artist>/<method>/ (.pth or .ckpt)")
+    p.add_argument("--model_dir", default="models")
+    p.add_argument("--no-display", dest="display", action="store_false",
+                   help="run quantitative classifier evaluation instead")
+    p.add_argument("--content_img", default="cuteimages/landscape.jpg")
+    p.add_argument("--content_size_w", type=int, default=1024)
+    p.add_argument("--sharpen", action="store_true")
+    p.add_argument("--sharpen_val", type=float, default=50.0)
+    p.add_argument("--blur", action="store_true")
+    p.add_argument("--blur_sigma", type=float, default=1.0)
+    p.add_argument("--content_dir", default="images/content/")
+    p.add_argument("--resize_imgs", action="store_true", default=True)
+    p.add_argument("--no-resize_imgs", dest="resize_imgs", action="store_false")
+    p.add_argument("--resize_size", type=int, default=1024)
+    p.add_argument("--num_images", type=int, default=133)
+    p.add_argument("--fig_dir", default="figs")
+    p.add_argument("--classifier_path", default="models/best-2.pth")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def run_display(args, params) -> str:
+    """Stylize one image + write the figure; returns the figure path."""
+    import cv2
+
+    from artist_style_transfer_tpu.infer.stylize import (
+        gaussian_blur_3x3,
+        save_figure,
+        sharpen,
+        stylize_batched,
+    )
+
+    im = cv2.imread(args.content_img)
+    if im is None:
+        raise FileNotFoundError(args.content_img)
+    if args.content_size_w > 0:  # inference.py:72-76
+        h, w, _ = im.shape
+        im = cv2.resize(im, (args.content_size_w, int(h * args.content_size_w / w)))
+
+    out = stylize_batched(params, [im.astype(np.float32)])[0]
+
+    if args.blur:
+        out = gaussian_blur_3x3(out, args.blur_sigma)
+    if args.sharpen:
+        out = sharpen(out, args.sharpen_val)
+
+    style_img = None
+    if args.style_method in ("random", "artist", "average"):  # inference.py:77-78
+        style_path = os.path.join(args.model_dir, args.artist, args.style_method, "style.jpg")
+        if os.path.exists(style_path):
+            style_img = cv2.imread(style_path)
+
+    fig_path = os.path.join(args.fig_dir, f"{args.artist}_{args.style_method}.png")
+    save_figure(fig_path, im, out, style_img)
+    print(f"wrote {fig_path}")
+    return fig_path
+
+
+def run_eval(args, params) -> float:
+    """Classifier-accuracy evaluation (inference.py:79-166)."""
+    import random as _random
+
+    import cv2
+
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+    from artist_style_transfer_tpu.utils.torch_import import (
+        classifier_params_from_torch,
+        load_torch_state_dict,
+    )
+
+    clf_params = classifier_params_from_torch(load_torch_state_dict(args.classifier_path))
+
+    files = [f for f in os.listdir(args.content_dir) if ".jpg" in f or ".JPEG" in f]
+    rng = _random.Random(args.seed) if args.seed is not None else _random
+    rng.shuffle(files)
+
+    content = []
+    for fname in files:
+        im = cv2.imread(os.path.join(args.content_dir, fname))
+        if im is None:
+            continue
+        if args.resize_imgs:
+            content.append(cv2.resize(im, (args.resize_size, args.resize_size)))
+        else:  # inference.py:93-98: skip weird sizes
+            h, w, _ = im.shape
+            if h > 1600 or w > 1024 or h < 224 or w < 224:
+                continue
+            content.append(im)
+        if len(content) == args.num_images:
+            break
+    print(f"Grabbed {len(content)} images!\n")  # inference.py:102
+
+    index = ARTISTS_19.index(args.artist)
+    return evaluate_with_classifier(
+        params,
+        clf_params,
+        np.stack(content).astype(np.float32),
+        index,
+        artists=ARTISTS_19,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from artist_style_transfer_tpu.infer.stylize import load_transfer_params
+
+    model_dir = os.path.join(args.model_dir, args.artist, args.style_method)
+    if args.model_filename is None or not os.path.exists(
+        os.path.join(model_dir, args.model_filename)
+    ):
+        raise NotImplementedError(args.model_filename)  # inference.py:63-64
+    params = load_transfer_params(os.path.join(model_dir, args.model_filename))
+
+    if args.display:
+        return run_display(args, params)
+    return run_eval(args, params)
+
+
+if __name__ == "__main__":
+    main()

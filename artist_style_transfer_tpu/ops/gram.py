@@ -1,0 +1,80 @@
+"""Batched Gram matrices — the style-loss hot op (reference train_cnn.py:103-107).
+
+``gram(f) = f @ f^T / (C*H*W)`` over flattened spatial dims. On TPU this is a
+single MXU contraction; the Pallas kernel in
+:mod:`artist_style_transfer_tpu.ops.pallas.gram_kernel` tiles it explicitly
+with the scale fused. This module provides the XLA path and the dispatcher.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.ops.precision import get_precision
+
+
+def gram_matrix_xla(features_nhwc: jax.Array) -> jax.Array:
+    """Normalized Gram matrices of a batch of NHWC feature maps.
+
+    Returns (N, C, C) = einsum('nhwc,nhwd->ncd') / (C*H*W), numerically
+    identical to the reference ``gram`` (train_cnn.py:103-107) which operates
+    on NCHW. The contraction runs on the MXU with f32 accumulation.
+    """
+    n, h, w, c = features_nhwc.shape
+    f = features_nhwc.reshape(n, h * w, c)
+    g = jax.lax.dot_general(
+        f,
+        f,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # contract HW, batch N
+        preferred_element_type=jnp.float32,
+        precision=get_precision(),
+    )
+    return g / jnp.asarray(c * h * w, dtype=g.dtype)
+
+
+@jax.custom_vjp
+def _gram_pallas_diff(features_nhwc: jax.Array) -> jax.Array:
+    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_matrix_pallas
+
+    return gram_matrix_pallas(features_nhwc)
+
+
+def _gram_fwd(features_nhwc):
+    return _gram_pallas_diff(features_nhwc), features_nhwc
+
+
+def _gram_bwd(features_nhwc, g):
+    """VJP of G = F^T F / s: dF = F (dG + dG^T) / s — one batched MXU matmul."""
+    n, h, w, c = features_nhwc.shape
+    scale = 1.0 / float(c * h * w)
+    f = features_nhwc.reshape(n, h * w, c).astype(jnp.float32)
+    sym = (g + jnp.swapaxes(g, 1, 2)) * scale  # (n, c, c), symmetric
+    df = jax.lax.dot_general(
+        f,
+        sym,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=get_precision(),
+    )
+    return (df.reshape(features_nhwc.shape).astype(features_nhwc.dtype),)
+
+
+_gram_pallas_diff.defvjp(_gram_fwd, _gram_bwd)
+
+
+def gram_matrix(features_nhwc: jax.Array, use_pallas: str | bool = "auto") -> jax.Array:
+    """Dispatch between the Pallas TPU kernel and the XLA contraction.
+
+    ``use_pallas='auto'`` selects the Pallas kernel on TPU backends when the
+    shapes are tile-friendly, else the XLA path (identical numerics, tested).
+    The Pallas path is differentiable via a custom VJP (needed by the style
+    loss in training).
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        n, h, w, c = features_nhwc.shape
+        if c % 128 == 0 and (h * w) % 8 == 0:
+            return _gram_pallas_diff(features_nhwc)
+    return gram_matrix_xla(features_nhwc)

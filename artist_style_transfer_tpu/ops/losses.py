@@ -1,0 +1,61 @@
+"""Loss functions for the five training modes (reference train_cnn.py:303-325).
+
+All losses are jit-friendly scalar reductions:
+
+- content loss: MSE over relu2_2 activations, x content_weight
+  (train_cnn.py:307-308; in 'classifier' mode the VGG returns the relu2_2
+  tensor directly, train_cnn.py:304-305 — numerically the same reduction)
+- gram style loss: sum over the 4 VGG taps of MSE(gram(gen), target_gram),
+  x style_weight (train_cnn.py:321-325)
+- classifier style loss: cross-entropy of the frozen artist classifier's
+  logits against the target artist index, x style_weight
+  (train_cnn.py:311-314)
+
+MSE uses torch ``nn.MSELoss`` semantics: mean over all elements.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.models.vgg import VGG_LAYER_NAMES
+from artist_style_transfer_tpu.ops.gram import gram_matrix
+
+
+def mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    d = (a - b).astype(jnp.float32)
+    return jnp.mean(jnp.square(d))
+
+
+def content_loss(gen_relu2_2: jax.Array, content_relu2_2: jax.Array) -> jax.Array:
+    """Perceptual content loss: MSE over relu2_2 feature maps."""
+    return mse(gen_relu2_2, content_relu2_2)
+
+
+def style_loss_gram(
+    gen_features: dict[str, jax.Array],
+    target_grams: dict[str, jax.Array],
+    use_pallas: str | bool = "auto",
+) -> jax.Array:
+    """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
+
+    ``target_grams[name]`` is (N, C, C) — precomputed once, HBM-resident.
+    """
+    loss = jnp.float32(0.0)
+    for name in VGG_LAYER_NAMES:
+        g = gram_matrix(gen_features[name], use_pallas=use_pallas)
+        loss = loss + mse(g, target_grams[name])
+    return loss
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean softmax cross-entropy, torch ``nn.CrossEntropyLoss`` semantics."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def psnr(a: jax.Array, b: jax.Array, peak: float = 255.0) -> jax.Array:
+    """Peak signal-to-noise ratio in dB — the parity metric (BASELINE.md)."""
+    m = mse(a, b)
+    return 10.0 * jnp.log10(peak * peak / m)

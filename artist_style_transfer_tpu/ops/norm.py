@@ -1,0 +1,56 @@
+"""Normalization ops: instance norm (per-sample, over H,W) and inference batch norm.
+
+Instance norm is the TransformerNet's workhorse (reference cnn.py:68); in JAX
+it is a handful of fused VPU ops. A Pallas TPU kernel lives in
+:mod:`artist_style_transfer_tpu.ops.pallas.instnorm_kernel`; this module's
+XLA version is the reference implementation and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# torch nn.InstanceNorm2d default epsilon (parity-critical, SURVEY §7 hard part b).
+INSTANCE_NORM_EPS = 1e-5
+BATCH_NORM_EPS = 1e-5
+
+
+def instance_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = INSTANCE_NORM_EPS,
+) -> jax.Array:
+    """Affine instance norm over an NHWC tensor.
+
+    Per-sample, per-channel mean/variance over (H, W), biased variance,
+    matching ``nn.InstanceNorm2d(C, affine=True)`` in eval and train mode
+    (torch's instance norm never uses running stats by default;
+    reference cnn.py:68, :114).
+    """
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    # Biased variance (torch uses 1/N), computed in f32 for stability.
+    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * scale + bias
+
+
+def batch_norm_inference(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    eps: float = BATCH_NORM_EPS,
+) -> jax.Array:
+    """Inference-mode batch norm using frozen running statistics.
+
+    The reference always runs its BN-bearing models (ResNet-50 classifier) in
+    ``eval()`` (train_cnn.py:158, inference.py:62), so training-mode BN is
+    deliberately not implemented — style gradients must flow through frozen
+    stats identically (SURVEY §7 hard part e). Works on NHWC (C = last axis)
+    and NC tensors.
+    """
+    inv = jax.lax.rsqrt(running_var + eps) * scale
+    return x * inv + (bias - running_mean * inv)

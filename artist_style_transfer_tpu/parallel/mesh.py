@@ -1,0 +1,47 @@
+"""Mesh + sharding helpers for data-parallel training.
+
+Axis layout: a 1-D ``('data',)`` mesh suffices for this model family — the
+TransformerNet is 1.7 M params (replicated; an all-reduce of 6.8 MB of
+grads rides ICI per step), while activations dominate memory and shard
+over the batch. The mesh helper accepts arbitrary shapes so TP/PP axes can
+be added later without touching call sites (SURVEY §2: TP exposed, not
+implemented).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: tuple[int, ...] | None = None,
+    axis_names: tuple[str, ...] = ("data",),
+    devices: list | None = None,
+) -> Mesh:
+    """Build a device mesh. Default: all local devices on a 1-D 'data' axis."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis; all other dims replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x: jax.Array, mesh: Mesh | None, axis: str = "data") -> jax.Array:
+    """Constrain a batch to be sharded over the mesh (no-op when mesh is None)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, axis))

@@ -1,0 +1,275 @@
+"""``train()`` — the public training entry point.
+
+Signature mirrors the reference ``train()`` kwargs exactly
+(train_cnn.py:144-146): style_method, artist, num_epochs, batch_size,
+content_data_size, seed, num_steps, content_weight, style_weight, lr,
+save_every — plus keyword-only TPU-native extensions (mesh, dtype, paths,
+and in-memory data hooks used by the tests).
+
+Flow (reference call stack SURVEY §3.1, rebuilt):
+  seed -> init TransformerNet -> load VGG (+classifier) -> content corpus to
+  device -> style targets to device -> precompute content relu2_2 -> one
+  jitted lax.scan per epoch -> checkpoints + loss bookkeeping.
+"""
+
+from __future__ import annotations
+
+import os
+import random as _random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artist_style_transfer_tpu.models.resnet import ARTISTS_19
+from artist_style_transfer_tpu.models.transformer import init_transformer_params
+from artist_style_transfer_tpu.train import checkpoint as ckpt
+from artist_style_transfer_tpu.train.loop import (
+    epoch_permutation,
+    make_optimizer,
+    make_step_fns,
+    precompute_content_relu2_2,
+)
+from artist_style_transfer_tpu.train.styles import MODES, build_style_targets
+from artist_style_transfer_tpu.utils.logging import MetricLogger
+from artist_style_transfer_tpu.utils.torch_import import (
+    classifier_params_from_torch,
+    load_torch_state_dict,
+    vgg16_params_from_torch,
+)
+
+
+def train(
+    style_method: str = "random",
+    artist: str = "Albrecht_Dürer",
+    num_epochs: int = 200,
+    batch_size: int = 4,
+    content_data_size: int = 256,
+    seed: int = 2,
+    num_steps: int = 2,
+    content_weight: float = 17.0,
+    style_weight: float = 25.0,
+    lr: float = 0.0024,
+    save_every: int = 10,
+    *,
+    train_size: int = 224,
+    weight_decay: float = 1e-4,
+    model_dir: str = "models",
+    vgg_path: str = "models/vgg16-00b39a1b.pth",
+    classifier_path: str = "models/best-2.pth",
+    content_dir: str = "images/content/",
+    archive_dir: str = "images/archive/",
+    cache_dir: str = "dicts/",
+    mesh=None,
+    resume: bool = False,
+    max_epochs_this_run: int | None = None,
+    export_pth: bool = True,
+    wordy: bool = True,
+    # In-memory data/param hooks (tests + programmatic use); when provided,
+    # the corresponding file/dataset loads are skipped.
+    content_images: np.ndarray | None = None,
+    paintings: np.ndarray | None = None,
+    avg_image: np.ndarray | None = None,
+    vgg_params=None,
+    classifier_params=None,
+    use_pallas: str | bool = "auto",
+):
+    """Train a TransformerNet for ``artist`` with the given style method.
+
+    Returns (params, losses) where ``losses`` is the reference's
+    (num_epochs, 3) array of per-epoch [content, style, total] sums
+    (train_cnn.py:281, :376-378).
+    """
+    if style_method not in MODES:
+        print("enter valid style method!")  # train_cnn.py:274
+        return 0
+
+    # Reference seeds all RNGs (train_cnn.py:147-151); our device-side
+    # randomness derives from jax keys folded per epoch.
+    np.random.seed(seed)
+    _random.seed(seed)
+    nprng = np.random.default_rng(seed)
+
+    # Compute the checkpoint prefix BEFORE anything writes into the directory:
+    # the reference's transfer_/transfer2_ choice keys off dir emptiness
+    # (train_cnn.py:173-178).
+    prefix = None
+    if model_dir:
+        prefix = ckpt.save_dir_prefix(
+            model_dir, artist, style_method, content_weight, style_weight, bump=not resume
+        )
+
+    log = MetricLogger(
+        jsonl_path=os.path.join(model_dir, artist, style_method, "metrics.jsonl")
+        if model_dir
+        else None,
+        stdout=wordy,
+    )
+
+    # --- Models -----------------------------------------------------------
+    params = init_transformer_params(jax.random.key(seed))
+    if vgg_params is None:
+        vgg_params = vgg16_params_from_torch(load_torch_state_dict(vgg_path))
+    if style_method == "classifier" and classifier_params is None:
+        classifier_params = classifier_params_from_torch(load_torch_state_dict(classifier_path))
+
+    # --- Content corpus (device-resident for the whole run) ----------------
+    if content_images is None:
+        from artist_style_transfer_tpu.data.datasets import get_content_dataset
+
+        if wordy:
+            print("Getting content dataset!")  # train_cnn.py:168
+        content_images = get_content_dataset(
+            content_data_size, train_size, train_size, content_dir=content_dir, seed=seed
+        )
+    content_data = jnp.asarray(content_images, jnp.float32)
+    n_content = content_data.shape[0]
+
+    # --- Style targets ------------------------------------------------------
+    if wordy:
+        print("Getting style dataset and features!")  # train_cnn.py:180
+    t0 = time.time()
+    artist_index = ARTISTS_19.index(artist) if style_method == "classifier" else None
+    if style_method in ("random", "cycle", "smartaverage") and paintings is None:
+        from artist_style_transfer_tpu.data.datasets import get_painting_dataset
+
+        corpus = get_painting_dataset(
+            for_classifier=False,
+            rescale_height=train_size,
+            rescale_width=train_size,
+            archive_dir=archive_dir,
+            cache_dir=cache_dir,
+        )
+        paintings = corpus[artist]
+    if style_method == "average" and avg_image is None:
+        from artist_style_transfer_tpu.data.datasets import get_avg_dataset
+
+        avg_image = get_avg_dataset(
+            rescale_height=train_size, rescale_width=train_size,
+            archive_dir=archive_dir, cache_dir=cache_dir,
+        )[artist]
+
+    targets = build_style_targets(
+        style_method,
+        vgg_params,
+        artist,
+        paintings=paintings,
+        avg_image=avg_image,
+        batch_size=batch_size,
+        artist_index=artist_index,
+        rng=nprng,
+    )
+    log.log("style_targets_built", mode=style_method, secs=round(time.time() - t0, 2))
+
+    # --- Style preview (reference train_cnn.py:191-196) ---------------------
+    if prefix is not None and targets.style_preview_bgr is not None:
+        _save_style_jpg(
+            os.path.dirname(prefix),
+            targets.style_preview_bgr,
+            second=os.path.basename(prefix).startswith("transfer2"),
+        )
+
+    # --- Optimizer + compiled epoch ----------------------------------------
+    steps_per_epoch = n_content // batch_size
+    tx = make_optimizer(lr, weight_decay, num_epochs, num_steps, steps_per_epoch)
+    opt_state = tx.init(params)
+    fns = make_step_fns(
+        style_method,
+        vgg_params,
+        classifier_params,
+        targets,
+        content_weight=content_weight,
+        style_weight=style_weight,
+        batch_size=batch_size,
+        num_content=n_content,
+        tx=tx,
+        mesh=mesh,
+        use_pallas=use_pallas,
+    )
+
+    content_r22 = precompute_content_relu2_2(vgg_params, content_data)
+
+    start_epoch = 0
+    losses = np.full((num_epochs, 3), -1.0, np.float64)
+    if resume and prefix is not None:
+        found = ckpt.latest_checkpoint(prefix)
+        if found is not None:
+            path, _ = found
+            restored = ckpt.restore_checkpoint(
+                path,
+                {"params": params, "completed": np.asarray(0, np.int64), "opt_state": opt_state},
+            )
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_epoch = int(restored["completed"])
+            loss_path = path[: -len(".ckpt")] + ".npy"
+            if os.path.exists(loss_path):
+                prev = np.load(loss_path)
+                n = min(len(prev), num_epochs)
+                losses[:n] = prev[:n]
+            log.log("resumed", checkpoint=path, epoch=start_epoch)
+
+    grams = targets.grams
+    labels = targets.labels
+
+    # --- Epoch loop ---------------------------------------------------------
+    if wordy:
+        print("Training!")  # train_cnn.py:278
+    run_start = time.time()
+    end_epoch = num_epochs
+    if max_epochs_this_run is not None:
+        # Time-sliced training: stop early but keep the full-run LR schedule;
+        # a later resume=True call continues seamlessly.
+        end_epoch = min(num_epochs, start_epoch + max_epochs_this_run)
+    for epoch in range(start_epoch, end_epoch):
+        t_ep = time.time()
+        perm = epoch_permutation(seed, epoch, n_content)
+        base_step = jnp.int32(epoch * steps_per_epoch)
+        params, opt_state, epoch_losses = fns.epoch_fn(
+            params, opt_state, content_data, content_r22, grams, labels, perm, base_step
+        )
+        el = np.asarray(jax.device_get(epoch_losses), np.float64)
+        losses[epoch] = el
+        dt = time.time() - t_ep
+        log.log(
+            "epoch",
+            epoch=epoch + 1,
+            content_loss=float(el[0]),
+            style_loss=float(el[1]),
+            total_loss=float(el[2]),
+            secs=round(dt, 3),
+            images_per_sec=round(steps_per_epoch * batch_size / dt, 1),
+        )
+        if prefix is not None and epoch % save_every == 0:
+            ckpt.save_checkpoint(prefix, epoch, params, opt_state, losses, completed_epochs=epoch + 1)
+
+    total = time.time() - run_start
+    log.log("trained", secs=round(total, 2))  # train_cnn.py:387
+    if prefix is not None:
+        if end_epoch < num_epochs:
+            # Early stop (time slice): persist the resume point.
+            ckpt.save_checkpoint(
+                prefix, end_epoch - 1, params, opt_state, losses, completed_epochs=end_epoch
+            )
+        else:
+            ckpt.save_checkpoint(
+                prefix, num_epochs, params, opt_state, losses, completed_epochs=num_epochs
+            )
+            ckpt.save_params_npz(f"{prefix}_{num_epochs}.npz", params)
+            if export_pth:
+                ckpt.export_pth(f"{prefix}_{num_epochs}.pth", params)
+    log.close()
+    return params, losses
+
+
+def _save_style_jpg(directory: str, image_bgr_255: np.ndarray, second: bool = False) -> None:
+    """Write style.jpg / style2.jpg like the reference (train_cnn.py:191-196)."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    name = "style2.jpg" if second else "style.jpg"
+    cv2.imwrite(
+        os.path.join(directory, name),
+        np.clip(image_bgr_255, 0, 255).astype(np.uint8),
+    )

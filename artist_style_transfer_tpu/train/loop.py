@@ -1,0 +1,185 @@
+"""The jitted training hot loop (reference train_cnn.py:282-359, rebuilt TPU-first).
+
+Key differences from the reference's eager loop:
+
+- One ``lax.scan`` per epoch: data indexing, forward, VGG, losses, backward,
+  Adam update, and LR schedule are a single compiled XLA program. No host
+  sync, no per-step dispatch, no ``plt.pause`` blocking the loop
+  (train_cnn.py:337-357).
+- The content corpus is HBM-resident; batches are gathers of a
+  per-epoch permutation (deterministic from (seed, epoch) — SURVEY §5
+  failure recovery). The reference copies each batch host->device per step
+  (train_cnn.py:298).
+- Content relu2_2 features are precomputed once per run — they are
+  constants of the optimization (the reference recomputes
+  ``VGG(content_batch)`` every step, train_cnn.py:300).
+- 'cycle' Gram targets are indexed in-graph (``step % P``); the reference
+  re-uploads a CPU-stored Gram dict every step (train_cnn.py:218, :323).
+- Optimizer: optax chain reproducing torch ``Adam(lr, weight_decay)``
+  (L2-into-gradient, eps outside the sqrt) + StepLR(gamma=0.5) semantics
+  (train_cnn.py:247-248).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from artist_style_transfer_tpu.models.transformer import transformer_apply
+from artist_style_transfer_tpu.models.vgg import vgg16_features
+from artist_style_transfer_tpu.models.resnet import classifier_apply
+from artist_style_transfer_tpu.ops.image import (
+    bgr_to_rgb,
+    torchvision_normalize,
+    vgg_caffe_preprocess,
+)
+from artist_style_transfer_tpu.ops.losses import (
+    content_loss,
+    cross_entropy_loss,
+    style_loss_gram,
+)
+from artist_style_transfer_tpu.parallel.mesh import shard_batch
+from artist_style_transfer_tpu.train.styles import StyleTargets
+
+
+def make_optimizer(
+    lr: float,
+    weight_decay: float,
+    num_epochs: int,
+    num_steps: int,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    """torch Adam(lr, weight_decay) + StepLR(num_epochs//num_steps, 0.5).
+
+    torch Adam folds weight decay into the gradient *before* the moment
+    update (not AdamW), and applies eps outside the sqrt — hence
+    ``add_decayed_weights`` first and ``eps_root=0``. StepLR steps per
+    *epoch* (train_cnn.py:375); expressed here per optimizer step.
+    """
+    decay_every = max(1, (num_epochs // max(1, num_steps)) * steps_per_epoch)
+
+    def schedule(step):
+        return lr * 0.5 ** (step // decay_every)
+
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFns:
+    """Compiled train-epoch and preview functions for one configuration."""
+
+    epoch_fn: Callable  # (params, opt_state, data, r22, grams, labels, perm, base_step)
+    loss_fn: Callable
+    steps_per_epoch: int
+
+
+def make_step_fns(
+    mode: str,
+    vgg_params,
+    classifier_params,
+    targets: StyleTargets,
+    *,
+    content_weight: float,
+    style_weight: float,
+    batch_size: int,
+    num_content: int,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    use_pallas: str | bool = "auto",
+) -> StepFns:
+    """Build the jitted epoch function for a training configuration.
+
+    Static configuration (mode, weights, shapes) is closed over; dynamic
+    state (params, optimizer state, data, permutation, step counter) flows
+    through arguments so one compilation serves the whole run.
+    """
+    steps_per_epoch = num_content // batch_size
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"content_data_size={num_content} < batch_size={batch_size}"
+        )
+    just_content = mode == "classifier"
+
+    def loss_fn(params, batch, content_r22, grams, labels, step):
+        gen = transformer_apply(params, batch)
+        gen_feats = vgg16_features(
+            vgg_params, vgg_caffe_preprocess(gen), just_content=just_content
+        )
+        gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
+        c_loss = content_weight * content_loss(gen_r22, content_r22)
+
+        if mode == "classifier":
+            # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
+            # we use the correct 0.456 G mean, not the reference's 0.546 typo)
+            rgb01 = bgr_to_rgb(gen) / 255.0
+            logits = classifier_apply(classifier_params, torchvision_normalize(rgb01))
+            s_loss = style_weight * cross_entropy_loss(logits, labels)
+        else:
+            if mode == "cycle":
+                idx = jnp.mod(step, targets.num_cycle)
+                step_grams = {
+                    k: jax.lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
+                    for k, v in grams.items()
+                }
+            else:
+                step_grams = grams
+            s_loss = style_weight * style_loss_gram(
+                gen_feats, step_grams, use_pallas=use_pallas
+            )
+        total = c_loss + s_loss
+        return total, (c_loss, s_loss)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def epoch_fn(params, opt_state, content_data, content_r22, grams, labels, perm, base_step):
+        def body(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+            batch = shard_batch(jnp.take(content_data, idx, axis=0), mesh)
+            r22 = shard_batch(jnp.take(content_r22, idx, axis=0), mesh)
+            step = base_step + i
+            (total, (c_l, s_l)), grads = grad_fn(params, batch, r22, grams, labels, step)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), jnp.stack([c_l, s_l, total])
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_epoch)
+        )
+        # Per-epoch sums, as the reference records (train_cnn.py:376-378).
+        return params, opt_state, jnp.sum(losses, axis=0)
+
+    epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
+    return StepFns(epoch_fn=epoch_jit, loss_fn=loss_fn, steps_per_epoch=steps_per_epoch)
+
+
+@jax.jit
+def _r22_chunk(vgg_params, images):
+    return vgg16_features(vgg_params, vgg_caffe_preprocess(images), just_content=True)
+
+
+def precompute_content_relu2_2(vgg_params, content_data: jax.Array, chunk: int = 16) -> jax.Array:
+    """relu2_2 features of the whole content corpus, computed once, device-resident."""
+    outs = []
+    n = content_data.shape[0]
+    for i in range(0, n - n % chunk, chunk):
+        outs.append(_r22_chunk(vgg_params, jax.lax.dynamic_slice_in_dim(content_data, i, chunk)))
+    if n % chunk:
+        tail = content_data[n - n % chunk :]
+        outs.append(
+            vgg16_features(vgg_params, vgg_caffe_preprocess(tail), just_content=True)
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def epoch_permutation(seed: int, epoch: int, n: int) -> jax.Array:
+    """Deterministic shuffle for (seed, epoch) — restartable mid-run (SURVEY §5)."""
+    return jax.random.permutation(jax.random.fold_in(jax.random.key(seed), epoch), n)

@@ -1,0 +1,80 @@
+"""Training CLI — ``python -m artist_style_transfer_tpu.train_style_transfer``.
+
+The reference's train entry point is the ``train()`` call in train_cnn.py
+(README.md:10 names it train_style_transfer.py; SURVEY §0 maps the two).
+Flags mirror the ``train()`` kwargs exactly (train_cnn.py:144-146); the
+reference has no argparse at all (SURVEY §5 'Config / flag system').
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--style_method", default="random",
+                   choices=["random", "average", "smartaverage", "cycle", "classifier"])
+    p.add_argument("--artist", default="Albrecht_Dürer")
+    p.add_argument("--num_epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--content_data_size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--num_steps", type=int, default=2)
+    p.add_argument("--content_weight", type=float, default=17.0)
+    p.add_argument("--style_weight", type=float, default=25.0)
+    p.add_argument("--lr", type=float, default=0.0024)
+    p.add_argument("--save_every", type=int, default=10)
+    # TPU-native extensions
+    p.add_argument("--train_size", type=int, default=224)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--model_dir", default="models")
+    p.add_argument("--vgg_path", default="models/vgg16-00b39a1b.pth")
+    p.add_argument("--classifier_path", default="models/best-2.pth")
+    p.add_argument("--content_dir", default="images/content/")
+    p.add_argument("--archive_dir", default="images/archive/")
+    p.add_argument("--cache_dir", default="dicts/")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all local devices")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    mesh = None
+    if args.data_parallel:
+        from artist_style_transfer_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    from artist_style_transfer_tpu.train import train
+
+    train(
+        style_method=args.style_method,
+        artist=args.artist,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        content_data_size=args.content_data_size,
+        seed=args.seed,
+        num_steps=args.num_steps,
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
+        lr=args.lr,
+        save_every=args.save_every,
+        train_size=args.train_size,
+        weight_decay=args.weight_decay,
+        model_dir=args.model_dir,
+        vgg_path=args.vgg_path,
+        classifier_path=args.classifier_path,
+        content_dir=args.content_dir,
+        archive_dir=args.archive_dir,
+        cache_dir=args.cache_dir,
+        mesh=mesh,
+        resume=args.resume,
+        wordy=not args.quiet,
+    )
+
+
+if __name__ == "__main__":
+    main()

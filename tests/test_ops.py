@@ -1,0 +1,149 @@
+"""Unit tests for core ops: image transforms, padding, norms, gram."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.ops import (
+    affine_rescale,
+    bgr_to_rgb,
+    center_crop,
+    gram_matrix,
+    instance_norm,
+    reflect_pad_hw,
+    resize_bilinear,
+    torchvision_normalize,
+    vgg_caffe_preprocess,
+)
+from artist_style_transfer_tpu.ops.gram import gram_matrix_xla
+
+
+def test_bgr_rgb_involution():
+    x = jnp.arange(2 * 3 * 4 * 3, dtype=jnp.float32).reshape(2, 3, 4, 3)
+    np.testing.assert_array_equal(bgr_to_rgb(bgr_to_rgb(x)), x)
+    np.testing.assert_array_equal(bgr_to_rgb(x)[..., 0], x[..., 2])
+
+
+def test_vgg_caffe_preprocess():
+    x = jnp.ones((1, 2, 2, 3), jnp.float32) * 200.0
+    y = vgg_caffe_preprocess(x)
+    np.testing.assert_allclose(
+        np.asarray(y[0, 0, 0]), [200 - 103.939, 200 - 116.779, 200 - 123.68], rtol=1e-6
+    )
+
+
+def test_torchvision_normalize():
+    x = jnp.full((1, 2, 2, 3), 0.5, jnp.float32)
+    y = torchvision_normalize(x)
+    expect = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0]), expect, rtol=1e-5)
+
+
+def test_reflect_pad_matches_numpy():
+    x = jnp.arange(1 * 4 * 5 * 2, dtype=jnp.float32).reshape(1, 4, 5, 2)
+    y = reflect_pad_hw(x, 2)
+    expect = np.pad(np.asarray(x), ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(np.asarray(y), expect)
+    assert reflect_pad_hw(x, 0) is x
+
+
+def test_instance_norm_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 9, 5)).astype(np.float32)
+    gamma = rng.standard_normal(5).astype(np.float32)
+    beta = rng.standard_normal(5).astype(np.float32)
+
+    ours = instance_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta))
+
+    tin = torch.nn.InstanceNorm2d(5, affine=True)
+    with torch.no_grad():
+        tin.weight.copy_(torch.from_numpy(gamma))
+        tin.bias.copy_(torch.from_numpy(beta))
+    theirs = tin(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).detach().numpy()
+
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+def test_gram_matches_reference_formula():
+    """gram(f) = f f^T / (C*H*W) computed on NCHW, as in train_cnn.py:103-107."""
+    rng = np.random.default_rng(1)
+    x_nhwc = rng.standard_normal((3, 6, 7, 4)).astype(np.float32)
+    g = gram_matrix_xla(jnp.asarray(x_nhwc))
+
+    f = np.transpose(x_nhwc, (0, 3, 1, 2)).reshape(3, 4, -1)  # NCHW flat
+    expect = np.einsum("ncx,ndx->ncd", f, f) / (4 * 6 * 7)
+    np.testing.assert_allclose(np.asarray(g), expect, rtol=1e-4, atol=1e-5)
+
+    # dispatcher on CPU falls back to XLA
+    np.testing.assert_allclose(np.asarray(gram_matrix(jnp.asarray(x_nhwc))), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_gram_pallas_interpret_matches_xla():
+    """Pallas kernel (interpreter mode on CPU) == XLA contraction."""
+    from jax.experimental.pallas import tpu as pltpu
+    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_matrix_pallas
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = gram_matrix_pallas(x)
+    g_xla = gram_matrix_xla(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-5, atol=1e-6)
+
+
+def test_resize_bilinear_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = (rng.random((37, 53, 3)) * 255).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img), 24, 31))
+    theirs = cv2.resize(img, (31, 24), interpolation=cv2.INTER_LINEAR)
+    # cv2 uses fixed-point taps; allow ~1 LSB of 255-scale difference
+    assert np.abs(ours - theirs).max() < 1.0
+
+
+def test_affine_rescale_matches_cv2_warp():
+    """Golden test vs the reference rescale() semantics (dataset.py:36-52)."""
+    import cv2
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((48, 80, 3)) * 255).astype(np.float32)
+    th, tw = 32, 56
+
+    # Reference forward affine (dataset.py:44-50)
+    h_s, w_s = th / 48, tw / 80
+    M = np.array(
+        [[w_s, 0, tw / 2 - w_s * 80 / 2], [0, h_s, th / 2 - h_s * 48 / 2]], dtype=np.float64
+    )
+    theirs = cv2.warpAffine(img, M, (tw, th))
+    ours = np.asarray(affine_rescale(jnp.asarray(img), th, tw))
+    assert np.abs(ours - theirs).max() < 1.0
+
+
+def test_affine_rescale_upscale_zero_pads():
+    import cv2
+
+    img = np.full((10, 10, 3), 100.0, np.float32)
+    th, tw = 20, 40  # anisotropic upscale
+    h_s, w_s = th / 10, tw / 10
+    M = np.array([[w_s, 0, 0.0], [0, h_s, 0.0]], dtype=np.float64)
+    theirs = cv2.warpAffine(img, M, (tw, th))
+    ours = np.asarray(affine_rescale(jnp.asarray(img), th, tw))
+    assert np.abs(ours - theirs).max() < 1.0
+
+
+def test_center_crop():
+    x = jnp.arange(10 * 12, dtype=jnp.float32).reshape(1, 10, 12, 1)
+    y = center_crop(x, 4)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(y[0, :, :, 0]), np.asarray(x[0, 3:7, 4:8, 0]))
+
+    # pad-then-crop path (torchvision pads when input smaller than crop)
+    small = jnp.ones((1, 2, 2, 1), jnp.float32)
+    z = center_crop(small, 4)
+    assert z.shape == (1, 4, 4, 1)
+    assert float(jnp.sum(z)) == 4.0
