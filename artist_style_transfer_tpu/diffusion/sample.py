@@ -1,0 +1,83 @@
+"""`diff_sample` — class-conditional DDPM sampling with classifier guidance.
+
+Reverse process with the mean shifted by the gradient of the artist
+classifier's log-probability (Dhariwal & Nichol classifier guidance). The
+pretrained ResNet-50 is a *clean-image* classifier, so the gradient is taken
+through the predicted x0 (x_hat0 trick) rather than on the noisy x_t — this
+is what lets the reference's `best-2.pth` supply the guidance signal
+directly (SURVEY §0: the build treats C20 as standard class-conditional
+guided Gaussian diffusion with the same classifier).
+
+The full T-step reverse loop is one jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.diffusion.gaussian import GaussianDiffusion, _extract
+from artist_style_transfer_tpu.diffusion.unet import diff_model_apply
+from artist_style_transfer_tpu.models.resnet import classifier_apply
+from artist_style_transfer_tpu.ops.image import bgr_to_rgb, torchvision_normalize
+
+
+def _classifier_logprob_grad(classifier_params, x0_pm1: jax.Array, y: jax.Array) -> jax.Array:
+    """grad_x log p(y | x0) where x0 is in [-1, 1] BGR."""
+
+    def logp(x):
+        # [-1,1] BGR -> RGB [0,1] -> torchvision stats, as 'classifier' mode does
+        rgb01 = bgr_to_rgb((x + 1.0) * 0.5)
+        logits = classifier_apply(classifier_params, torchvision_normalize(rgb01))
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.sum(jnp.take_along_axis(lp, y[:, None], axis=-1))
+
+    return jax.grad(logp)(x0_pm1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "guidance_scale", "clip_x0")
+)
+def diff_sample(
+    params: dict,
+    diffusion: GaussianDiffusion,
+    key: jax.Array,
+    y: jax.Array,  # (N,) artist class ids
+    shape: tuple[int, int] = (64, 64),
+    classifier_params=None,
+    guidance_scale: float = 0.0,
+    clip_x0: bool = True,
+) -> jax.Array:
+    """Sample class-conditional images. Returns NHWC BGR [0, 255] float32."""
+    n = y.shape[0]
+    h, w = shape
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, (n, h, w, 3), jnp.float32)
+    T = diffusion.num_timesteps
+
+    def step(carry, t_rev):
+        x, key = carry
+        t = T - 1 - t_rev
+        tb = jnp.full((n,), t, jnp.int32)
+        eps = diff_model_apply(params, x, tb, y)
+        x0 = diffusion.predict_x0_from_eps(x, tb, eps)
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = diffusion.q_posterior_mean(x0, x, tb)
+        if classifier_params is not None and guidance_scale > 0.0:
+            grad = _classifier_logprob_grad(classifier_params, x0, y)
+            mean = mean + guidance_scale * _extract(
+                diffusion.posterior_variance, tb, x.ndim
+            ) * grad
+        key, kn = jax.random.split(key)
+        noise = jax.random.normal(kn, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype)
+        logvar = _extract(diffusion.posterior_log_variance, tb, x.ndim)
+        x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), jnp.arange(T))
+    # [-1, 1] -> BGR [0, 255]
+    return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)

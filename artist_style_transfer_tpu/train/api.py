@@ -64,6 +64,7 @@ def train(
     mesh=None,
     resume: bool = False,
     max_epochs_this_run: int | None = None,
+    preview_every: int = 0,
     export_pth: bool = True,
     wordy: bool = True,
     # In-memory data/param hooks (tests + programmatic use); when provided,
@@ -242,6 +243,20 @@ def train(
         )
         if prefix is not None and epoch % save_every == 0:
             ckpt.save_checkpoint(prefix, epoch, params, opt_state, losses, completed_epochs=epoch + 1)
+        if prefix is not None and preview_every and epoch % preview_every == 0:
+            # Content/Style/Transformed panel, written as a file — the
+            # reference's live matplotlib preview (train_cnn.py:337-354)
+            # without blocking the hot loop.
+            from artist_style_transfer_tpu.infer.stylize import save_figure, stylize
+
+            first = content_data[:1]
+            out = np.asarray(jax.device_get(stylize(params, first)))[0]
+            save_figure(
+                os.path.join(os.path.dirname(prefix), f"preview_{epoch}.png"),
+                np.asarray(jax.device_get(first))[0],
+                out,
+                targets.style_preview_bgr,
+            )
 
     total = time.time() - run_start
     log.log("trained", secs=round(total, 2))  # train_cnn.py:387

@@ -1,0 +1,91 @@
+"""Diffusion (C20) tests: process math, UNet shapes, training step, guided sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.diffusion import (
+    GaussianDiffusion,
+    diff_model_apply,
+    diff_sample,
+    init_diff_model,
+    train_diffusion,
+)
+
+T = 16  # tiny schedule for tests
+HW = 16
+
+
+def test_schedule_coefficients():
+    d = GaussianDiffusion.make(num_timesteps=T)
+    assert d.num_timesteps == T
+    acp = np.asarray(d.alphas_cumprod)
+    assert np.all(np.diff(acp) < 0) and acp[0] < 1.0 and acp[-1] > 0.0
+    np.testing.assert_allclose(
+        np.asarray(d.sqrt_alphas_cumprod) ** 2 + np.asarray(d.sqrt_one_minus_alphas_cumprod) ** 2,
+        1.0,
+        rtol=1e-5,
+    )
+
+
+def test_q_sample_and_x0_roundtrip():
+    d = GaussianDiffusion.make(num_timesteps=T)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, HW, HW, 3)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((2, HW, HW, 3)).astype(np.float32))
+    t = jnp.asarray([3, 9], jnp.int32)
+    x_t = d.q_sample(x0, t, noise)
+    # recovering x0 from the true eps must be exact
+    x0_rec = d.predict_x0_from_eps(x_t, t, noise)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), rtol=1e-4, atol=1e-5)
+
+
+def test_unet_shapes_and_conditioning():
+    params = init_diff_model(jax.random.key(0), num_classes=5, base_channels=32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, HW, HW, 3)).astype(np.float32))
+    t = jnp.asarray([1, 5], jnp.int32)
+    out_a = diff_model_apply(params, x, t, jnp.asarray([0, 1], jnp.int32))
+    out_b = diff_model_apply(params, x, t, jnp.asarray([2, 3], jnp.int32))
+    assert out_a.shape == x.shape
+    # conditioning must change the output — the final conv is near-zero-
+    # initialized (standard diffusion practice), so compare against exact
+    # equality, not allclose's default tolerance
+    assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 0.0
+    out_c = diff_model_apply(params, x, jnp.asarray([9, 12], jnp.int32), jnp.asarray([0, 1], jnp.int32))
+    assert np.abs(np.asarray(out_a) - np.asarray(out_c)).max() > 0.0
+
+
+def test_train_diffusion_reduces_loss():
+    rng = np.random.default_rng(2)
+    imgs = (rng.random((8, HW, HW, 3)) * 255).astype(np.float32)
+    labels = np.arange(8) % 3
+    params, diffusion, losses = train_diffusion(
+        imgs, labels, num_classes=3, num_timesteps=T, num_epochs=4,
+        batch_size=4, base_channels=32, lr=3e-4, wordy=False,
+    )
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_diff_sample_shapes_and_guidance():
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+    params = init_diff_model(jax.random.key(0), num_classes=3, base_channels=32)
+    diffusion = GaussianDiffusion.make(num_timesteps=T)
+    y = jnp.asarray([0, 2], jnp.int32)
+
+    out = diff_sample(params, diffusion, jax.random.key(1), y, shape=(HW, HW))
+    assert out.shape == (2, HW, HW, 3)
+    o = np.asarray(out)
+    assert o.min() >= 0.0 and o.max() <= 255.0 and np.all(np.isfinite(o))
+
+    clf = init_classifier_params(jax.random.key(2), num_classes=3)
+    guided = diff_sample(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW),
+        classifier_params=clf, guidance_scale=2.0,
+    )
+    assert guided.shape == (2, HW, HW, 3)
+    assert not np.allclose(np.asarray(guided), o)  # guidance changes the samples

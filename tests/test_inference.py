@@ -1,0 +1,99 @@
+"""Inference-path tests: stylize shapes, .npz/.pth loaders, eval pipeline, Gatys."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from artist_style_transfer_tpu.models import init_transformer_params
+from artist_style_transfer_tpu.models.resnet import init_classifier_params
+from artist_style_transfer_tpu.models.vgg import init_vgg16_params
+
+
+def test_stylize_clips_to_uint8():
+    from artist_style_transfer_tpu.infer.stylize import stylize
+
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)) * 255, jnp.float32)
+    out = stylize(params, x)
+    assert out.dtype == jnp.uint8
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_stylize_batched_groups_shapes():
+    from artist_style_transfer_tpu.infer.stylize import stylize_batched
+
+    params = init_transformer_params(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    images = [
+        (rng.random((32, 32, 3)) * 255).astype(np.float32),
+        (rng.random((32, 48, 3)) * 255).astype(np.float32),
+        (rng.random((32, 32, 3)) * 255).astype(np.float32),
+    ]
+    outs = stylize_batched(params, images)
+    assert outs[0].shape == (32, 32, 3)
+    assert outs[1].shape == (32, 48, 3)
+    # same-shaped inputs batched together must equal their solo results
+    solo = stylize_batched(params, [images[0]])[0]
+    np.testing.assert_array_equal(outs[0], solo)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from artist_style_transfer_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    params = init_transformer_params(jax.random.key(2))
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params)
+    template = init_transformer_params(jax.random.key(3))
+    back = load_params_npz(path, template)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_with_classifier_counts():
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    rng = np.random.default_rng(2)
+    # > 256 inputs so the center crop actually crops
+    content = (rng.random((3, 288, 288, 3)) * 255).astype(np.float32)
+    acc = evaluate_with_classifier(params, clf, content, artist_index=0, batch_size=2, wordy=False)
+    assert 0.0 <= acc <= 100.0
+
+
+def test_gatys_reduces_loss():
+    from artist_style_transfer_tpu.train.gatys import gatys_stylize
+
+    vgg_params = init_vgg16_params(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    content = jnp.asarray((rng.random((32, 32, 3)) * 255).astype(np.float32))
+    style = jnp.asarray((rng.random((32, 32, 3)) * 255).astype(np.float32))
+
+    out, losses = gatys_stylize(
+        vgg_params, content, style, num_steps=30, lr=2.0, use_pallas=False
+    )
+    assert out.shape == (32, 32, 3)
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9  # optimization makes real progress
+
+
+def test_post_filters_match_cv2():
+    import cv2
+
+    from artist_style_transfer_tpu.infer.stylize import gaussian_blur_3x3, sharpen
+
+    rng = np.random.default_rng(4)
+    img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+
+    ours = gaussian_blur_3x3(img, sigma=1.0)
+    theirs = cv2.GaussianBlur(img, ksize=(3, 3), sigmaX=1.0, sigmaY=1.0)
+    # interior must match exactly-ish; borders differ (cv2 default border)
+    assert np.abs(ours[2:-2, 2:-2].astype(int) - theirs[2:-2, 2:-2].astype(int)).max() <= 1
+
+    ours_s = sharpen(img.astype(np.float64), 50.0)
+    kern = np.array([[-1, -1, -1], [-1, 50.0, -1], [-1, -1, -1]]) / (50.0 - 8)
+    theirs_s = cv2.filter2D(img, -1, kern)
+    assert np.abs(ours_s[2:-2, 2:-2].astype(int) - theirs_s[2:-2, 2:-2].astype(int)).max() <= 1
