@@ -108,15 +108,33 @@ def get_content_dataset(
     uses ``seed`` for deterministic restarts (SURVEY §5 failure recovery);
     ``None`` uses Python's global RNG like the reference.
     """
-    _require_cv2()
     files = _iter_content_files(content_dir)
     rng = _random.Random(seed) if seed is not None else _random
     rng.shuffle(files)
+    paths = [os.path.join(content_dir, f) for f in files]
 
+    # Fast path: the native thread-pool decoder (C++/libjpeg-turbo).
+    from artist_style_transfer_tpu.data import native_loader
+
+    if native_loader.available():
+        collected: list[np.ndarray] = []
+        i = 0
+        while len(collected) < size and i < len(paths):
+            chunk = paths[i : i + (size - len(collected))]
+            i += len(chunk)
+            out, ok = native_loader.decode_batch(
+                chunk, rescale_height, rescale_width, native_loader.MODE_RESIZE
+            )
+            collected.extend(out[ok])
+        if collected:
+            return np.stack(collected)[:size]
+        # fall through to cv2 (e.g. non-JPEG content)
+
+    _require_cv2()
     images = np.zeros((size, rescale_height, rescale_width, 3), np.float32)
     count = 0
-    for fname in files:
-        im = cv2.imread(os.path.join(content_dir, fname))
+    for path in paths:
+        im = cv2.imread(path)
         if im is None:
             continue
         # Reference passes (h, w) where cv2 expects (w, h) (dataset.py:101);
@@ -218,19 +236,40 @@ def get_painting_dataset(
         dataset = _load_reference_pickles(cache_dir)
         if dataset is not None and wordy:
             print("Loaded reference pickle cache!")
+    rescaled: dict[str, np.ndarray] | None = None
     if dataset is None:
-        dataset = _decode_paintings(names, counts, archive_dir, use_resized, wordy)
+        from artist_style_transfer_tpu.data import native_loader
 
-    total = sum(len(v) for v in dataset.values())
-    th, tw = get_rescale_dims(dataset, total, rescale_height, rescale_width)
+        if (
+            use_resized
+            and rescale_height > 0
+            and rescale_width > 0
+            and native_loader.available()
+        ):
+            # Native fast path: decode + centered affine rescale in one
+            # multithreaded pass, straight to the static training shape.
+            th, tw = rescale_height, rescale_width
+            rescaled = {}
+            for name, num in zip(names, counts):
+                paths = [
+                    os.path.join(archive_dir, "resized/resized", f"{name}_{i}.jpg")
+                    for i in range(1, num + 1)
+                ]
+                out, ok = native_loader.decode_batch(paths, th, tw, native_loader.MODE_RESCALE)
+                rescaled[name] = out[ok] if ok.any() else np.zeros((0, th, tw, 3), np.float32)
+        else:
+            dataset = _decode_paintings(names, counts, archive_dir, use_resized, wordy)
 
-    rescaled: dict[str, np.ndarray] = {}
-    for artist, imgs in dataset.items():
-        if len(imgs) == 0:
-            rescaled[artist] = np.zeros((0, th, tw, 3), np.float32)
-            continue
-        out = np.stack([rescale_image(im, th, tw) for im in imgs]).astype(np.float32)
-        rescaled[artist] = out
+    if rescaled is None:
+        total = sum(len(v) for v in dataset.values())
+        th, tw = get_rescale_dims(dataset, total, rescale_height, rescale_width)
+        rescaled = {}
+        for artist, imgs in dataset.items():
+            if len(imgs) == 0:
+                rescaled[artist] = np.zeros((0, th, tw, 3), np.float32)
+                continue
+            out = np.stack([rescale_image(im, th, tw) for im in imgs]).astype(np.float32)
+            rescaled[artist] = out
 
     if save_cache:
         os.makedirs(cache_dir, exist_ok=True)
