@@ -1,0 +1,136 @@
+"""Diffusion CLI — ``python -m artist_style_transfer_tpu.diffusion.cli``.
+
+Subcommands:
+- ``train``: fit `diff_model` on the painting corpus (artist-labeled)
+- ``sample``: class-conditional sampling, optionally classifier-guided
+  via the pretrained artist classifier (models/best-2.pth)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--image_size", type=int, default=64)
+    t.add_argument("--num_epochs", type=int, default=50)
+    t.add_argument("--batch_size", type=int, default=32)
+    t.add_argument("--num_timesteps", type=int, default=1000)
+    t.add_argument("--base_channels", type=int, default=64)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--archive_dir", default="images/archive/")
+    t.add_argument("--cache_dir", default="dicts/")
+    t.add_argument("--out", default="models/diffusion/diff_model.npz")
+
+    s = sub.add_parser("sample")
+    s.add_argument("--model", default="models/diffusion/diff_model.npz")
+    s.add_argument("--artist", default="Vincent_van_Gogh")
+    s.add_argument("--num_samples", type=int, default=4)
+    s.add_argument("--image_size", type=int, default=64)
+    s.add_argument("--num_timesteps", type=int, default=1000)
+    s.add_argument("--base_channels", type=int, default=64)
+    s.add_argument("--guidance_scale", type=float, default=0.0)
+    s.add_argument("--classifier_path", default="models/best-2.pth")
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--out", default="figs/diffusion_samples.png")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artist_style_transfer_tpu.models.resnet import ARTISTS_19
+    from artist_style_transfer_tpu.train.checkpoint import load_params_npz, save_params_npz
+    from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.cmd == "train":
+        from artist_style_transfer_tpu.data import get_painting_dataset
+        from artist_style_transfer_tpu.diffusion import train_diffusion
+        from artist_style_transfer_tpu.data.datasets import load_artist_names
+
+        corpus = get_painting_dataset(
+            for_classifier=False,
+            rescale_height=args.image_size,
+            rescale_width=args.image_size,
+            archive_dir=args.archive_dir,
+            cache_dir=args.cache_dir,
+        )
+        names, _ = load_artist_names(args.archive_dir)
+        images, labels = [], []
+        for i, n in enumerate(names):
+            arr = corpus.get(n)
+            if arr is None or not len(arr):
+                continue
+            images.append(arr)
+            labels.extend([i] * len(arr))
+        images = np.concatenate(images)
+        params, diffusion, losses = train_diffusion(
+            images,
+            np.asarray(labels),
+            num_classes=len(names),
+            num_timesteps=args.num_timesteps,
+            num_epochs=args.num_epochs,
+            batch_size=args.batch_size,
+            base_channels=args.base_channels,
+            lr=args.lr,
+            seed=args.seed,
+        )
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_params_npz(args.out, params)
+        print(f"wrote {args.out}; final loss {losses[-1]:.4f}")
+        return args.out
+
+    # sample
+    from artist_style_transfer_tpu.diffusion import (
+        GaussianDiffusion,
+        diff_sample,
+        init_diff_model,
+    )
+
+    template = init_diff_model(
+        jax.random.key(0), num_classes=19, base_channels=args.base_channels
+    )
+    params = load_params_npz(args.model, template)
+    diffusion = GaussianDiffusion.make(args.num_timesteps)
+
+    clf_params = None
+    if args.guidance_scale > 0:
+        from artist_style_transfer_tpu.utils.torch_import import (
+            classifier_params_from_torch,
+            load_torch_state_dict,
+        )
+
+        clf_params = classifier_params_from_torch(load_torch_state_dict(args.classifier_path))
+
+    y = jnp.full((args.num_samples,), ARTISTS_19.index(args.artist), jnp.int32)
+    out = diff_sample(
+        params,
+        diffusion,
+        jax.random.key(args.seed),
+        y,
+        shape=(args.image_size, args.image_size),
+        classifier_params=clf_params,
+        guidance_scale=args.guidance_scale,
+    )
+    import cv2
+
+    grid = np.concatenate(np.asarray(out).astype(np.uint8), axis=1)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    cv2.imwrite(args.out, grid)
+    print(f"wrote {args.out}")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

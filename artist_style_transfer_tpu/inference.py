@@ -130,6 +130,9 @@ def run_eval(args, params) -> float:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from artist_style_transfer_tpu.infer.stylize import load_transfer_params
 

@@ -21,9 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from artist_style_transfer_tpu.ops.conv import conv2d, conv_transpose2d
+from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect, conv_transpose2d
 from artist_style_transfer_tpu.ops.norm import instance_norm
-from artist_style_transfer_tpu.ops.pad import reflect_pad_hw
+from artist_style_transfer_tpu.ops.pad import reflect_pad_hw  # noqa: F401 (bit-exact alternative)
 
 # (kernel, stride, in_ch, out_ch) for the four encoder conv layers (cnn.py:15-24).
 ENCODER_SPEC = ((9, 1, 3, 32), (3, 2, 32, 64), (3, 2, 64, 128), (1, 1, 128, 128))
@@ -88,9 +88,12 @@ def init_transformer_params(key: jax.Array) -> dict:
 
 
 def _conv_in(p: dict, x: jax.Array, k: int, s: int) -> jax.Array:
-    """Reflect-pad -> conv -> instance norm (reference ConvLayer, cnn.py:52-79)."""
-    x = reflect_pad_hw(x, k // 2)
-    x = conv2d(x, p["w"], p["b"], stride=s, padding=0)
+    """Reflect-pad conv -> instance norm (reference ConvLayer, cnn.py:52-79).
+
+    Uses :func:`conv2d_reflect` — bit-identical to pad-then-conv but without
+    materializing the padded activation (a full HBM round trip per layer).
+    """
+    x = conv2d_reflect(x, p["w"], p["b"], stride=s)
     return instance_norm(x, p["gamma"], p["beta"])
 
 

@@ -91,6 +91,98 @@ def conv_transpose2d(
     return y.astype(x.dtype)
 
 
+def conv2d_reflect(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    b: jax.Array | None = None,
+    stride: int = 1,
+    precision: str | None = None,
+) -> jax.Array:
+    """Convolution over a reflect-padded input, without materializing the pad.
+
+    Numerically identical to ``conv2d(reflect_pad_hw(x, k//2), w, b, stride)``
+    (reference ConvLayer semantics, cnn.py:55-63), but the interior comes
+    from a native zero-padded conv — padding is folded into the conv op, so
+    the (N,H,W,C)-sized padded copy the reflect pad would materialize (a
+    pure HBM read+write of the whole activation) never exists. Only the
+    k//2-wide boundary bands, where zero- and reflect-padding differ, are
+    recomputed on thin reflect-padded slices and pasted over.
+
+    Falls back to the materialized pad for images too small to have an
+    interior.
+    """
+    k = w_hwio.shape[0]
+    pad = k // 2
+    if pad == 0:
+        return conv2d(x, w_hwio, b, stride=stride, padding=0, precision=precision)
+
+    h, w = x.shape[1], x.shape[2]
+    h_out = (h + 2 * pad - k) // stride + 1
+    w_out = (w + 2 * pad - k) // stride + 1
+    # Band widths: outputs whose window crosses the low/high boundary.
+    n_top = n_left = -(-pad // stride)
+    n_bot = h_out - ((h - k + pad) // stride + 1)
+    n_right = w_out - ((w - k + pad) // stride + 1)
+    if (
+        h_out < n_top + n_bot + 1
+        or w_out < n_left + n_right + 1
+        or h <= pad
+        or w <= pad
+    ):
+        from artist_style_transfer_tpu.ops.pad import reflect_pad_hw
+
+        return conv2d(reflect_pad_hw(x, pad), w_hwio, b, stride=stride, padding=0,
+                      precision=precision)
+
+    y = conv2d(x, w_hwio, b, stride=stride, padding=pad, precision=precision)
+
+    def reflect_lo(arr, axis):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(pad, 0, -1)
+        return jnp.concatenate([arr[tuple(idx)], arr], axis=axis)
+
+    def reflect_hi(arr, axis):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(-2, -2 - pad, -1)
+        return jnp.concatenate([arr, arr[tuple(idx)]], axis=axis)
+
+    def valid_conv(src, wpad=0):
+        out = jax.lax.conv_general_dilated(
+            src, w_hwio, (stride, stride), ((0, 0), (wpad, wpad)),
+            dimension_numbers=_DN, preferred_element_type=jnp.float32,
+            precision=precision or get_precision(),
+        ).astype(x.dtype)
+        return out + b if b is not None else out
+
+    def wreflect(src):
+        return reflect_hi(reflect_lo(src, 2), 2)
+
+    # Top/bottom bands: full width, reflect in both dims (corners exact).
+    if n_top:
+        rows = (n_top - 1) * stride + k - pad  # input rows below the boundary
+        y = y.at[:, :n_top].set(valid_conv(wreflect(reflect_lo(x[:, :rows], 1))))
+    if n_bot:
+        start = (h_out - n_bot) * stride - pad
+        y = y.at[:, h_out - n_bot :].set(
+            valid_conv(wreflect(reflect_hi(x[:, start:], 1)))
+        )
+
+    # Left/right bands for the remaining interior rows: reflect along W only.
+    r0_out, r1_out = n_top, h_out - n_bot
+    r0 = r0_out * stride - pad
+    r1 = (r1_out - 1) * stride - pad + k
+    mid = x[:, r0:r1]
+    if n_left:
+        cols = (n_left - 1) * stride + k - pad
+        band = valid_conv(reflect_lo(mid[:, :, :cols], 2))
+        y = y.at[:, r0_out:r1_out, :n_left].set(band)
+    if n_right:
+        start = (w_out - n_right) * stride - pad
+        band = valid_conv(reflect_hi(mid[:, :, start:], 2))
+        y = y.at[:, r0_out:r1_out, w_out - n_right :].set(band)
+    return y
+
+
 def linear(
     x: jax.Array,
     w_io: jax.Array,

@@ -29,11 +29,14 @@ def instance_norm(
     (torch's instance norm never uses running stats by default;
     reference cnn.py:68, :114).
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    # Biased variance (torch uses 1/N), computed in f32 for stability.
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    # Biased variance (torch uses 1/N). Stats always in f32 — in bf16
+    # compute mode the normalization would otherwise lose ~3 digits, and
+    # XLA fuses the upcast for free.
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * scale + bias
+    return (((x32 - mean) * inv).astype(x.dtype)) * scale + bias
 
 
 def batch_norm_inference(

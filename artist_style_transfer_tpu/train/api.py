@@ -75,6 +75,7 @@ def train(
     vgg_params=None,
     classifier_params=None,
     use_pallas: str | bool = "auto",
+    compute_dtype: str = "float32",
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -187,6 +188,7 @@ def train(
         tx=tx,
         mesh=mesh,
         use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
     )
 
     content_r22 = precompute_content_relu2_2(vgg_params, content_data)

@@ -94,12 +94,17 @@ def make_step_fns(
     tx: optax.GradientTransformation,
     mesh=None,
     use_pallas: str | bool = "auto",
+    compute_dtype: str = "float32",
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
     Static configuration (mode, weights, shapes) is closed over; dynamic
     state (params, optimizer state, data, permutation, step counter) flows
     through arguments so one compilation serves the whole run.
+
+    ``compute_dtype='bfloat16'`` runs the forward/backward in bf16 (mixed
+    precision: master params, optimizer state, and loss reductions stay
+    f32) — the throughput mode; 'float32' is the parity mode.
     """
     steps_per_epoch = num_content // batch_size
     if steps_per_epoch == 0:
@@ -107,11 +112,20 @@ def make_step_fns(
             f"content_data_size={num_content} < batch_size={batch_size}"
         )
     just_content = mode == "classifier"
+    cdtype = jnp.dtype(compute_dtype)
+    vgg_compute = (
+        jax.tree.map(lambda a: a.astype(cdtype), vgg_params)
+        if cdtype != jnp.float32
+        else vgg_params
+    )
 
     def loss_fn(params, batch, content_r22, grams, labels, step):
+        if cdtype != jnp.float32:
+            params = jax.tree.map(lambda a: a.astype(cdtype), params)
+            batch = batch.astype(cdtype)
         gen = transformer_apply(params, batch)
         gen_feats = vgg16_features(
-            vgg_params, vgg_caffe_preprocess(gen), just_content=just_content
+            vgg_compute, vgg_caffe_preprocess(gen), just_content=just_content
         )
         gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
         c_loss = content_weight * content_loss(gen_r22, content_r22)

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
+    from artist_style_transfer_tpu.parallel.distributed import initialize_multihost
+
+    enable_compilation_cache()
+    initialize_multihost()  # no-op when single-process
     mesh = None
     if args.data_parallel:
         from artist_style_transfer_tpu.parallel import make_mesh

@@ -78,11 +78,14 @@ def test_dp_trajectory_matches_single_device():
     p8, l8 = _run_epochs(mesh, content, params, vgg_params, targets)
 
     np.testing.assert_allclose(l8, l1, rtol=1e-4)
-    # Params: Adam normalizes near-zero grads, so all-reduce reduction-order
-    # noise can flip individual update directions; bound drift by the update
-    # scale (lr=1e-3 x 4 steps) rather than demanding bitwise equality.
+    # Params: Adam normalizes near-zero grads, so reduction-order noise can
+    # flip individual update directions (each update is +-lr); bound the
+    # aggregate drift (RMS) and the worst case by a few update magnitudes
+    # rather than demanding bitwise equality.
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5e-3)
+        d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+        assert np.sqrt(np.mean(d * d)) < 1e-3, "RMS param drift too large"
+        assert np.abs(d).max() < 4e-3 * 4, "max param drift exceeds update scale"
 
 
 def test_dp_batch_is_actually_sharded():
