@@ -45,7 +45,10 @@ def conv2d(
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        # f32 accumulation output only for f32 inputs: a widened output dtype
+        # breaks conv's transpose rule under autodiff (f32 cotangent vs bf16
+        # operands); bf16 convs still accumulate in f32 inside the MXU.
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else x.dtype,
         precision=precision or get_precision(),
     )
     if b is not None:
@@ -83,7 +86,7 @@ def conv_transpose2d(
         padding=((lo, hi), (lo, hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else x.dtype,
         precision=precision or get_precision(),
     )
     if b is not None:
@@ -149,7 +152,8 @@ def conv2d_reflect(
     def valid_conv(src, wpad=0):
         out = jax.lax.conv_general_dilated(
             src, w_hwio, (stride, stride), ((0, 0), (wpad, wpad)),
-            dimension_numbers=_DN, preferred_element_type=jnp.float32,
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else x.dtype,
             precision=precision or get_precision(),
         ).astype(x.dtype)
         return out + b if b is not None else out

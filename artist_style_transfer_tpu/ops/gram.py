@@ -33,23 +33,17 @@ def gram_matrix_xla(features_nhwc: jax.Array) -> jax.Array:
     return g / jnp.asarray(c * h * w, dtype=g.dtype)
 
 
-@jax.custom_vjp
-def _gram_pallas_diff(features_nhwc: jax.Array) -> jax.Array:
-    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_matrix_pallas
+def _gram_bwd_impl(features_nhwc, g):
+    """VJP of G = F^T F / s: dF = F (dG + dG^T) / s — one batched MXU matmul.
 
-    return gram_matrix_pallas(features_nhwc)
-
-
-def _gram_fwd(features_nhwc):
-    return _gram_pallas_diff(features_nhwc), features_nhwc
-
-
-def _gram_bwd(features_nhwc, g):
-    """VJP of G = F^T F / s: dF = F (dG + dG^T) / s — one batched MXU matmul."""
+    Computed in f32 and cast back to the features' dtype, so mixed-precision
+    (bf16 activations, f32 Gram outputs) backpropagates with consistent
+    operand dtypes.
+    """
     n, h, w, c = features_nhwc.shape
     scale = 1.0 / float(c * h * w)
     f = features_nhwc.reshape(n, h * w, c).astype(jnp.float32)
-    sym = (g + jnp.swapaxes(g, 1, 2)) * scale  # (n, c, c), symmetric
+    sym = (g.astype(jnp.float32) + jnp.swapaxes(g, 1, 2).astype(jnp.float32)) * scale
     df = jax.lax.dot_general(
         f,
         sym,
@@ -60,7 +54,22 @@ def _gram_bwd(features_nhwc, g):
     return (df.reshape(features_nhwc.shape).astype(features_nhwc.dtype),)
 
 
-_gram_pallas_diff.defvjp(_gram_fwd, _gram_bwd)
+@jax.custom_vjp
+def _gram_pallas_diff(features_nhwc: jax.Array) -> jax.Array:
+    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_matrix_pallas
+
+    return gram_matrix_pallas(features_nhwc)
+
+
+_gram_pallas_diff.defvjp(lambda f: (_gram_pallas_diff(f), f), _gram_bwd_impl)
+
+
+@jax.custom_vjp
+def _gram_xla_diff(features_nhwc: jax.Array) -> jax.Array:
+    return gram_matrix_xla(features_nhwc)
+
+
+_gram_xla_diff.defvjp(lambda f: (_gram_xla_diff(f), f), _gram_bwd_impl)
 
 
 def gram_matrix(features_nhwc: jax.Array, use_pallas: str | bool = "auto") -> jax.Array:
@@ -77,4 +86,4 @@ def gram_matrix(features_nhwc: jax.Array, use_pallas: str | bool = "auto") -> ja
         n, h, w, c = features_nhwc.shape
         if c % 128 == 0 and (h * w) % 8 == 0:
             return _gram_pallas_diff(features_nhwc)
-    return gram_matrix_xla(features_nhwc)
+    return _gram_xla_diff(features_nhwc)

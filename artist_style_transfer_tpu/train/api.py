@@ -76,6 +76,7 @@ def train(
     classifier_params=None,
     use_pallas: str | bool = "auto",
     compute_dtype: str = "float32",
+    profile_dir: str | None = None,
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -224,7 +225,13 @@ def train(
         # Time-sliced training: stop early but keep the full-run LR schedule;
         # a later resume=True call continues seamlessly.
         end_epoch = min(num_epochs, start_epoch + max_epochs_this_run)
+    profiling = False
     for epoch in range(start_epoch, end_epoch):
+        if profile_dir and epoch == start_epoch + 1 and not profiling:
+            # Trace the second epoch (first includes compilation) —
+            # SURVEY §5 tracing/profiling equivalent.
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         t_ep = time.time()
         perm = epoch_permutation(seed, epoch, n_content)
         base_step = jnp.int32(epoch * steps_per_epoch)
@@ -232,6 +239,10 @@ def train(
             params, opt_state, content_data, content_r22, grams, labels, perm, base_step
         )
         el = np.asarray(jax.device_get(epoch_losses), np.float64)
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            log.log("profile_written", dir=profile_dir)
         losses[epoch] = el
         dt = time.time() - t_ep
         log.log(
@@ -277,6 +288,41 @@ def train(
                 ckpt.export_pth(f"{prefix}_{num_epochs}.pth", params)
     log.close()
     return params, losses
+
+
+def train_from_config(config, **overrides):
+    """Run :func:`train` from a :class:`TrainConfig` dataclass.
+
+    Config fields map 1:1 onto train() arguments; keyword overrides win.
+    """
+    from artist_style_transfer_tpu.utils.config import TrainConfig
+
+    assert isinstance(config, TrainConfig)
+    mesh = overrides.pop("mesh", None)
+    if mesh is None and config.mesh_shape is not None:
+        from artist_style_transfer_tpu.parallel import make_mesh
+
+        mesh = make_mesh(shape=tuple(config.mesh_shape))
+    kwargs = dict(
+        style_method=config.style_method,
+        artist=config.artist,
+        num_epochs=config.num_epochs,
+        batch_size=config.batch_size,
+        content_data_size=config.content_data_size,
+        seed=config.seed,
+        num_steps=config.num_steps,
+        content_weight=config.content_weight,
+        style_weight=config.style_weight,
+        lr=config.lr,
+        save_every=config.save_every,
+        train_size=config.train_size,
+        weight_decay=config.weight_decay,
+        model_dir=config.model_dir,
+        compute_dtype=config.compute_dtype,
+        mesh=mesh,
+    )
+    kwargs.update(overrides)
+    return train(**kwargs)
 
 
 def _save_style_jpg(directory: str, image_bgr_255: np.ndarray, second: bool = False) -> None:

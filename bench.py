@@ -117,7 +117,7 @@ def measure_tpu_throughput(batch_size: int = 16, iters: int = 20) -> float:
     return batch_size / dt
 
 
-def measure_train_cycle_throughput(batch_size: int = 32, train_size: int = 224) -> float:
+def measure_train_cycle_throughput(batch_size: int = 64, train_size: int = 224) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
     BASELINE.json's second target (>1k images/sec). One full jitted epoch
@@ -157,6 +157,7 @@ def measure_train_cycle_throughput(batch_size: int = 32, train_size: int = 224) 
             "cycle", vgg_params, None, targets,
             content_weight=17.0, style_weight=25.0,
             batch_size=batch_size, num_content=n_content, tx=tx,
+            compute_dtype="bfloat16",
         )
         r22 = precompute_content_relu2_2(vgg_params, content)
         opt_state = tx.init(params)

@@ -95,6 +95,43 @@ def test_gram_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-5, atol=1e-6)
 
 
+def test_conv2d_reflect_matches_padded_conv():
+    """Border-band reflect conv == materialized reflect-pad conv, all shapes."""
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect
+
+    rng = np.random.default_rng(7)
+    for (h, w, k, s, cin, cout) in [
+        (32, 40, 9, 1, 3, 8), (32, 40, 3, 2, 8, 16), (17, 23, 9, 1, 3, 4),
+        (8, 8, 9, 1, 3, 4), (33, 47, 3, 2, 4, 4), (31, 31, 5, 3, 2, 2),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32)) * 0.1
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        ref = conv2d(reflect_pad_hw(x, k // 2), wt, b, stride=s, padding=0)
+        got = conv2d_reflect(x, wt, b, stride=s)
+        assert got.shape == ref.shape, (h, w, k, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_conv2d_reflect_gradients_match():
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 16, 20, 3)).astype(np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, 4)).astype(np.float32)) * 0.1
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.square(conv2d(reflect_pad_hw(x, 1), w, stride=1, padding=0)))
+
+    def loss_fast(x, w):
+        return jnp.sum(jnp.square(conv2d_reflect(x, w, stride=1)))
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, wt)
+    gx_f, gw_f = jax.grad(loss_fast, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
+
+
 def test_resize_bilinear_matches_cv2():
     import cv2
 

@@ -225,6 +225,29 @@ def test_train_smoke_gram_modes(mode, tmp_path):
     assert any(n.endswith("_3.ckpt") for n in names)
 
 
+def test_train_bf16_mixed_precision(tmp_path):
+    """bf16 compute mode: loss trajectory tracks f32 and still improves."""
+    from artist_style_transfer_tpu.train import train
+
+    rng = np.random.default_rng(9)
+    content = (rng.random((4, H, W, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    _, _, _, vgg_params = _make_oracles()
+
+    kwargs = dict(
+        style_method="random", artist="A", num_epochs=3, batch_size=2,
+        content_data_size=4, seed=2, content_images=content,
+        paintings=paintings, vgg_params=vgg_params,
+        export_pth=False, wordy=False, use_pallas=False, model_dir=None,
+    )
+    _, l32 = train(compute_dtype="float32", **kwargs)
+    _, l16 = train(compute_dtype="bfloat16", **kwargs)
+    assert np.all(np.isfinite(l16))
+    assert l16[-1, 2] < l16[0, 2]
+    # same trajectory to within bf16 tolerance
+    np.testing.assert_allclose(l16, l32, rtol=0.1)
+
+
 def test_train_classifier_mode_smoke(tmp_path):
     from artist_style_transfer_tpu.models.resnet import init_classifier_params
     from artist_style_transfer_tpu.train import train
