@@ -33,6 +33,44 @@ def content_loss(gen_relu2_2: jax.Array, content_relu2_2: jax.Array) -> jax.Arra
     return mse(gen_relu2_2, content_relu2_2)
 
 
+@jax.custom_vjp
+def _gram_mse_fused(features: jax.Array, target: jax.Array) -> jax.Array:
+    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_residual_pallas
+
+    resid = gram_residual_pallas(features, target)
+    n, c = resid.shape[0], resid.shape[1]
+    return jnp.sum(jnp.square(resid)) / (n * c * c)
+
+
+def _gram_mse_fwd(features, target):
+    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_residual_pallas
+
+    resid = gram_residual_pallas(features, target)
+    n, c = resid.shape[0], resid.shape[1]
+    loss = jnp.sum(jnp.square(resid)) / (n * c * c)
+    return loss, (features, target, resid)
+
+
+def _gram_mse_bwd(res, g):
+    """dL/dF = 4 g/(N C^2) * F @ resid * scale  (resid = G - T is symmetric)."""
+    features, target, resid = res
+    n, h, w, c = features.shape
+    scale = 1.0 / float(c * h * w)
+    coef = (4.0 * g / (n * c * c)) * scale
+    f = features.reshape(n, h * w, c).astype(jnp.float32)
+    df = jax.lax.dot_general(
+        f,
+        resid,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * coef
+    dt = jnp.zeros_like(target)  # targets are frozen constants
+    return df.reshape(features.shape).astype(features.dtype), dt
+
+
+_gram_mse_fused.defvjp(_gram_mse_fwd, _gram_mse_bwd)
+
+
 def style_loss_gram(
     gen_features: dict[str, jax.Array],
     target_grams: dict[str, jax.Array],
@@ -40,12 +78,22 @@ def style_loss_gram(
 ) -> jax.Array:
     """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
 
-    ``target_grams[name]`` is (N, C, C) — precomputed once, HBM-resident.
+    ``target_grams[name]`` is (C, C) or (N, C, C) — precomputed once,
+    HBM-resident. On TPU the per-tap Gram + target subtraction runs as one
+    fused Pallas kernel (the north-star fused style loss); the scalar
+    reduction and its VJP work on the tiny (N, C, C) residual.
     """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
     loss = jnp.float32(0.0)
     for name in VGG_LAYER_NAMES:
-        g = gram_matrix(gen_features[name], use_pallas=use_pallas)
-        loss = loss + mse(g, target_grams[name])
+        feats = gen_features[name]
+        c = feats.shape[-1]
+        if use_pallas and c % 128 == 0 and (feats.shape[1] * feats.shape[2]) % 8 == 0:
+            loss = loss + _gram_mse_fused(feats, target_grams[name])
+        else:
+            g = gram_matrix(feats, use_pallas=use_pallas)
+            loss = loss + mse(g, target_grams[name])
     return loss
 
 
