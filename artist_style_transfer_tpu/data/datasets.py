@@ -198,8 +198,8 @@ def get_painting_dataset(
     rescale_height: int = -1,
     rescale_width: int = -1,
     use_resized: bool = True,
-    save_cache: bool = False,
-    load_cache: bool = True,
+    save_pickle: bool = False,
+    load_pickle: bool = True,
     wordy: bool = False,
     archive_dir: str = ARCHIVE_DIR,
     cache_dir: str = CACHE_DIR,
@@ -214,15 +214,16 @@ def get_painting_dataset(
     torchvision-normalized NHWC, labels int32 artist indices
     (dataset.py:201-221).
 
-    Cache strategy: a single ``paintings_cache.npz`` replaces the 6-pickle
-    scheme; the reference's ``full_int_*.pkl`` files are read as a fallback
-    when present.
+    Cache strategy: ``save_pickle``/``load_pickle`` keep the reference's
+    parameter names (dataset.py:120-121) but drive a single
+    ``paintings_cache.npz`` replacing the 6-pickle scheme; the reference's
+    ``full_int_*.pkl`` files are still read as a fallback when present.
     """
     names, counts = load_artist_names(archive_dir)
 
     npz_path = os.path.join(cache_dir, "paintings_cache.npz")
     dataset: dict[str, list[np.ndarray]] | None = None
-    if load_cache and os.path.exists(npz_path):
+    if load_pickle and os.path.exists(npz_path):
         z = np.load(npz_path, allow_pickle=False)
         loaded_names = [str(n) for n in z["names"]]
         dataset = {}
@@ -232,7 +233,7 @@ def get_painting_dataset(
             dataset[n] = list(images[offsets[i]: offsets[i + 1]])
         if wordy:
             print("Loaded npz cache!")
-    elif load_cache:
+    elif load_pickle:
         dataset = _load_reference_pickles(cache_dir)
         if dataset is not None and wordy:
             print("Loaded reference pickle cache!")
@@ -271,7 +272,7 @@ def get_painting_dataset(
             out = np.stack([rescale_image(im, th, tw) for im in imgs]).astype(np.float32)
             rescaled[artist] = out
 
-    if save_cache:
+    if save_pickle:
         os.makedirs(cache_dir, exist_ok=True)
         arrs, offs, ns = [], [0], []
         for n in names:

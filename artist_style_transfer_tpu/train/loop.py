@@ -119,13 +119,15 @@ def make_step_fns(
         else vgg_params
     )
 
-    def loss_fn(params, batch, content_r22, grams, labels, step):
+    def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
+        vgg_p = vgg_compute if vgg_p is None else vgg_p
+        clf_p = classifier_params if clf_p is None else clf_p
         if cdtype != jnp.float32:
             params = jax.tree.map(lambda a: a.astype(cdtype), params)
             batch = batch.astype(cdtype)
         gen = transformer_apply(params, batch)
         gen_feats = vgg16_features(
-            vgg_compute, vgg_caffe_preprocess(gen), just_content=just_content
+            vgg_p, vgg_caffe_preprocess(gen), just_content=just_content
         )
         gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
         c_loss = content_weight * content_loss(gen_r22, content_r22)
@@ -134,7 +136,7 @@ def make_step_fns(
             # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
             # we use the correct 0.456 G mean, not the reference's 0.546 typo)
             rgb01 = bgr_to_rgb(gen) / 255.0
-            logits = classifier_apply(classifier_params, torchvision_normalize(rgb01))
+            logits = classifier_apply(clf_p, torchvision_normalize(rgb01))
             s_loss = style_weight * cross_entropy_loss(logits, labels)
         else:
             if mode == "cycle":
@@ -153,14 +155,21 @@ def make_step_fns(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def epoch_fn(params, opt_state, content_data, content_r22, grams, labels, perm, base_step):
+    # Frozen VGG weights enter the compiled epoch as a real argument, not a
+    # closure constant — closed-over arrays get baked into the HLO as
+    # literals, bloating the program and round-tripping the weights through
+    # the host at lowering time.
+    def epoch_arg_fn(params, opt_state, content_data, content_r22, grams,
+                     labels, perm, base_step, vgg_p, clf_p):
         def body(carry, i):
             params, opt_state = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
             batch = shard_batch(jnp.take(content_data, idx, axis=0), mesh)
             r22 = shard_batch(jnp.take(content_r22, idx, axis=0), mesh)
             step = base_step + i
-            (total, (c_l, s_l)), grads = grad_fn(params, batch, r22, grams, labels, step)
+            (total, (c_l, s_l)), grads = grad_fn(
+                params, batch, r22, grams, labels, step, vgg_p, clf_p
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack([c_l, s_l, total])
@@ -168,10 +177,16 @@ def make_step_fns(
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), jnp.arange(steps_per_epoch)
         )
-        # Per-epoch sums, as the reference records (train_cnn.py:376-378).
         return params, opt_state, jnp.sum(losses, axis=0)
 
-    epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
+    epoch_core = jax.jit(epoch_arg_fn, donate_argnums=(0, 1))
+
+    def epoch_jit(params, opt_state, content_data, content_r22, grams, labels, perm, base_step):
+        return epoch_core(
+            params, opt_state, content_data, content_r22, grams, labels,
+            perm, base_step, vgg_compute, classifier_params,
+        )
+
     return StepFns(epoch_fn=epoch_jit, loss_fn=loss_fn, steps_per_epoch=steps_per_epoch)
 
 

@@ -66,13 +66,13 @@ def test_painting_dataset_decode_and_cache(workspace):
         archive_dir=str(workspace / "images" / "archive") + "/",
         cache_dir=str(workspace / "dicts") + "/",
     )
-    d = get_painting_dataset(for_classifier=False, load_cache=False, save_cache=True, **kwargs)
+    d = get_painting_dataset(for_classifier=False, load_pickle=False, save_pickle=True, **kwargs)
     assert set(d) == {"Artist_One", "Artist_Two"}
     assert d["Artist_One"].shape == (2, 16, 16, 3)
     assert d["Artist_Two"].shape == (1, 16, 16, 3)
 
     # reload via the npz cache (exact to uint8 quantization of the cache)
-    d2 = get_painting_dataset(for_classifier=False, load_cache=True, **kwargs)
+    d2 = get_painting_dataset(for_classifier=False, load_pickle=True, **kwargs)
     assert np.abs(d2["Artist_One"] - d["Artist_One"]).max() <= 1.0
 
 
@@ -99,7 +99,7 @@ def test_painting_dataset_classifier_mode(workspace):
         for_classifier=True,
         rescale_height=16,
         rescale_width=16,
-        load_cache=False,
+        load_pickle=False,
         archive_dir=str(workspace / "images" / "archive") + "/",
         cache_dir=str(workspace / "dicts") + "/",
     )
