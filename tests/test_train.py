@@ -273,6 +273,26 @@ def test_train_classifier_mode_smoke(tmp_path):
     assert np.all(np.isfinite(losses))
 
 
+def test_train_preview_images(tmp_path):
+    from artist_style_transfer_tpu.train import train
+
+    rng = np.random.default_rng(10)
+    content = (rng.random((2, H, W, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    _, _, _, vgg_params = _make_oracles()
+
+    train(
+        style_method="random", artist="A", num_epochs=2, batch_size=2,
+        content_data_size=2, model_dir=str(tmp_path), preview_every=1,
+        content_images=content, paintings=paintings, vgg_params=vgg_params,
+        export_pth=False, wordy=False, use_pallas=False,
+    )
+    d = tmp_path / "A" / "random"
+    assert (d / "preview_0.png").exists()
+    assert (d / "preview_1.png").exists()
+    assert (d / "style.jpg").exists()
+
+
 def test_train_resume(tmp_path):
     """Resume from the latest checkpoint reproduces uninterrupted training."""
     from artist_style_transfer_tpu.train import train
