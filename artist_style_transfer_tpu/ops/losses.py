@@ -28,9 +28,32 @@ def mse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(d))
 
 
-def content_loss(gen_relu2_2: jax.Array, content_relu2_2: jax.Array) -> jax.Array:
-    """Perceptual content loss: MSE over relu2_2 feature maps."""
+def content_loss(
+    gen_relu2_2: jax.Array,
+    content_relu2_2: jax.Array,
+    use_pallas: str | bool = "auto",
+) -> jax.Array:
+    """Perceptual content loss: MSE over relu2_2 feature maps.
+
+    On TPU the reduction streams both tensors through a fused Pallas kernel
+    (one read each, SMEM accumulator); elsewhere plain XLA.
+    """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and gen_relu2_2.shape == content_relu2_2.shape:
+        rows = int(np_prod(gen_relu2_2.shape[:-1]))
+        if rows % 8 == 0 and gen_relu2_2.shape[-1] % 128 == 0:
+            from artist_style_transfer_tpu.ops.pallas.mse_kernel import mse_pallas
+
+            return mse_pallas(gen_relu2_2, content_relu2_2)
     return mse(gen_relu2_2, content_relu2_2)
+
+
+def np_prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
 
 
 @jax.custom_vjp

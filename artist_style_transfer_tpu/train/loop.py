@@ -130,7 +130,7 @@ def make_step_fns(
             vgg_p, vgg_caffe_preprocess(gen), just_content=just_content
         )
         gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
-        c_loss = content_weight * content_loss(gen_r22, content_r22)
+        c_loss = content_weight * content_loss(gen_r22, content_r22, use_pallas=use_pallas)
 
         if mode == "classifier":
             # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
