@@ -192,7 +192,11 @@ def train(
         compute_dtype=compute_dtype,
     )
 
-    content_r22 = precompute_content_relu2_2(vgg_params, content_data)
+    content_r22 = precompute_content_relu2_2(
+        vgg_params,
+        content_data,
+        dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+    )
 
     start_epoch = 0
     losses = np.full((num_epochs, 3), -1.0, np.float64)

@@ -195,8 +195,14 @@ def _r22_chunk(vgg_params, images):
     return vgg16_features(vgg_params, vgg_caffe_preprocess(images), just_content=True)
 
 
-def precompute_content_relu2_2(vgg_params, content_data: jax.Array, chunk: int = 16) -> jax.Array:
-    """relu2_2 features of the whole content corpus, computed once, device-resident."""
+def precompute_content_relu2_2(
+    vgg_params, content_data: jax.Array, chunk: int = 16, dtype=None
+) -> jax.Array:
+    """relu2_2 features of the whole content corpus, computed once, device-resident.
+
+    ``dtype=bfloat16`` halves the (large: 6.4 MB/image at 224x224) resident
+    footprint for mixed-precision runs; features are computed in f32 first.
+    """
     outs = []
     n = content_data.shape[0]
     for i in range(0, n - n % chunk, chunk):
@@ -206,7 +212,8 @@ def precompute_content_relu2_2(vgg_params, content_data: jax.Array, chunk: int =
         outs.append(
             vgg16_features(vgg_params, vgg_caffe_preprocess(tail), just_content=True)
         )
-    return jnp.concatenate(outs, axis=0)
+    out = jnp.concatenate(outs, axis=0)
+    return out.astype(dtype) if dtype is not None else out
 
 
 def epoch_permutation(seed: int, epoch: int, n: int) -> jax.Array:

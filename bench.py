@@ -159,7 +159,7 @@ def measure_train_cycle_throughput(batch_size: int = 64, train_size: int = 224) 
             batch_size=batch_size, num_content=n_content, tx=tx,
             compute_dtype="bfloat16",
         )
-        r22 = precompute_content_relu2_2(vgg_params, content)
+        r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)
         return fns, params, opt_state, content, r22, targets
 
