@@ -76,6 +76,7 @@ def train(
     classifier_params=None,
     use_pallas: str | bool = "auto",
     compute_dtype: str = "float32",
+    remat: bool = False,
     profile_dir: str | None = None,
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
@@ -190,6 +191,7 @@ def train(
         mesh=mesh,
         use_pallas=use_pallas,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
 
     content_r22 = precompute_content_relu2_2(

@@ -95,6 +95,7 @@ def make_step_fns(
     mesh=None,
     use_pallas: str | bool = "auto",
     compute_dtype: str = "float32",
+    remat: bool = False,
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
@@ -119,16 +120,25 @@ def make_step_fns(
         else vgg_params
     )
 
+    # Rematerialization trades recompute FLOPs for activation memory —
+    # worthwhile here because training is HBM-bound with MXU headroom, so
+    # the freed memory buys a larger (better-utilizing) batch.
+    tr_apply = jax.checkpoint(transformer_apply) if remat else transformer_apply
+    if remat:
+        vgg_apply = jax.checkpoint(
+            lambda p, x: vgg16_features(p, x, just_content=just_content)
+        )
+    else:
+        vgg_apply = lambda p, x: vgg16_features(p, x, just_content=just_content)
+
     def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
         vgg_p = vgg_compute if vgg_p is None else vgg_p
         clf_p = classifier_params if clf_p is None else clf_p
         if cdtype != jnp.float32:
             params = jax.tree.map(lambda a: a.astype(cdtype), params)
             batch = batch.astype(cdtype)
-        gen = transformer_apply(params, batch)
-        gen_feats = vgg16_features(
-            vgg_p, vgg_caffe_preprocess(gen), just_content=just_content
-        )
+        gen = tr_apply(params, batch)
+        gen_feats = vgg_apply(vgg_p, vgg_caffe_preprocess(gen))
         gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
         c_loss = content_weight * content_loss(gen_r22, content_r22, use_pallas=use_pallas)
 

@@ -57,7 +57,7 @@ def get_baseline() -> float:
     return ips
 
 
-def measure_tpu_throughput(batch_size: int = 16, iters: int = 20) -> float:
+def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     """Jitted TransformerNet stylization throughput at 512x512 on one chip.
 
     Iterations are CHAINED (each step consumes the previous output) so the
@@ -117,7 +117,7 @@ def measure_tpu_throughput(batch_size: int = 16, iters: int = 20) -> float:
     return batch_size / dt
 
 
-def measure_train_cycle_throughput(batch_size: int = 64, train_size: int = 224) -> float:
+def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
     BASELINE.json's second target (>1k images/sec). One full jitted epoch
@@ -157,7 +157,7 @@ def measure_train_cycle_throughput(batch_size: int = 64, train_size: int = 224) 
             "cycle", vgg_params, None, targets,
             content_weight=17.0, style_weight=25.0,
             batch_size=batch_size, num_content=n_content, tx=tx,
-            compute_dtype="bfloat16",
+            compute_dtype="bfloat16", remat=True,
         )
         r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)
@@ -171,18 +171,22 @@ def measure_train_cycle_throughput(batch_size: int = 64, train_size: int = 224) 
         float(losses[0])  # completion barrier via scalar fetch
         return params, opt_state
 
+    # Measure sequentially and free each corpus before the next — holding
+    # both resident (plus activations) exceeds HBM at larger batches.
     small = build(batch_size)  # 1 step/epoch
-    big = build(batch_size * 9)  # 9 steps/epoch
-    # compile + warm
-    s_state = run(*small)
-    b_state = run(*big)
+    s_state = run(*small)  # compile + warm
     t0 = time.perf_counter()
     run(small[0], *s_state, *small[3:])
     d1 = time.perf_counter() - t0
+    del small, s_state
+
+    n_steps = 6
+    big = build(batch_size * n_steps)
+    b_state = run(*big)
     t0 = time.perf_counter()
     run(big[0], *b_state, *big[3:])
-    d9 = time.perf_counter() - t0
-    per_step = (d9 - d1) / 8
+    dn = time.perf_counter() - t0
+    per_step = (dn - d1) / (n_steps - 1)
     return batch_size / per_step
 
 
