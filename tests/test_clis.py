@@ -70,6 +70,24 @@ def test_inference_cli_display(cli_workspace):
     assert os.path.exists(fig)
 
 
+def test_inference_cli_eval_mode(cli_workspace):
+    """--no-display: stylize -> classifier -> 'Acc=' (inference.py:153-166)."""
+    from artist_style_transfer_tpu.inference import main as infer_main
+    from artist_style_transfer_tpu.train_style_transfer import main as train_main
+
+    train_main([
+        "--style_method", "smartaverage", "--artist", "Alfred_Sisley",
+        "--num_epochs", "1", "--batch_size", "2", "--content_data_size", "2",
+        "--train_size", "32", "--save_every", "1", "--num_steps", "1", "--quiet",
+    ])
+    acc = infer_main([
+        "--style_method", "smartaverage", "--artist", "Alfred_Sisley",
+        "--model_filename", "transfer_17-25_1.npz", "--no-display",
+        "--num_images", "1", "--resize_size", "64", "--seed", "0",
+    ])
+    assert 0.0 <= acc <= 100.0
+
+
 def test_gatys_cli(cli_workspace):
     from artist_style_transfer_tpu.stylize_gatys import main
 
