@@ -190,6 +190,52 @@ def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) 
     return batch_size / per_step
 
 
+def measure_eval_throughput(batch_size: int = 16, size: int = 288, iters: int = 8) -> float:
+    """Quantitative-eval pipeline images/sec: stylize -> crop -> classify.
+
+    The reference's eval loop (inference.py:104-166) runs image-by-image
+    with host round trips; here the whole pipeline is one jitted graph.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from artist_style_transfer_tpu.infer.evaluate import _eval_batch
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+    from artist_style_transfer_tpu.models.transformer import init_transformer_params
+    from artist_style_transfer_tpu.ops.precision import set_precision
+
+    set_precision("default")
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch_size, size, size, 3)) * 255, jnp.float32
+    )
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(x, n):
+        def body(carry, _):
+            preds = _eval_batch(params, clf, carry)
+            # real data dependence on the preds (a *0 gets constant-folded
+            # and the whole loop elided — measured!)
+            return carry + jnp.sum(preds).astype(carry.dtype) * 1e-12, None
+
+        y, _ = jax.lax.scan(body, x, None, length=n)
+        return jnp.sum(y)
+
+    float(chain(x, 1))
+    float(chain(x, iters))
+    t0 = time.perf_counter()
+    float(chain(x, 1))
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(x, iters))
+    dn = time.perf_counter() - t0
+    return batch_size / ((dn - d1) / (iters - 1))
+
+
 def main() -> None:
     import sys
 
@@ -197,6 +243,19 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    if "--eval" in sys.argv:
+        value = measure_eval_throughput()
+        print(
+            json.dumps(
+                {
+                    "metric": "classifier_eval_288_images_per_sec",
+                    "value": round(value, 2),
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,  # the reference records no eval throughput
+                }
+            )
+        )
+        return
     if "--train" in sys.argv:
         value = measure_train_cycle_throughput()
         print(
