@@ -45,12 +45,25 @@ def evaluate_with_classifier(
     batch_size: int = 4,
     wordy: bool = True,
     artists: tuple[str, ...] | None = None,
+    mesh=None,
 ) -> float:
     """Top-1 accuracy of the classifier recognizing the target artist.
 
     ``content_images``: (N, H, W, 3) BGR [0,255]. Returns accuracy in %
     rounded to 2 decimals, as the reference prints (inference.py:166).
+
+    With ``mesh``, each batch is sharded over the mesh's data axis and the
+    (replicated) params stay put — the eval pipeline scales across chips
+    the same way the train step does.
     """
+    if mesh is not None:
+        from artist_style_transfer_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+
+        params = jax.device_put(params, replicated_sharding(mesh))
+        classifier_params = jax.device_put(classifier_params, replicated_sharding(mesh))
     n = len(content_images)
     preds = np.zeros((n,), np.int64)
     for i in range(0, n, batch_size):
@@ -58,7 +71,10 @@ def evaluate_with_classifier(
         pad = batch_size - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        p = np.asarray(_eval_batch(params, classifier_params, jnp.asarray(chunk, jnp.float32)))
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if mesh is not None:
+            chunk = jax.device_put(chunk, batch_sharding(mesh))
+        p = np.asarray(_eval_batch(params, classifier_params, chunk))
         preds[i : i + batch_size - pad] = p[: batch_size - pad]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:
