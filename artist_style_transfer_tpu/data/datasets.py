@@ -93,6 +93,26 @@ def _iter_content_files(content_dir: str) -> list[str]:
     return sorted(os.listdir(content_dir))
 
 
+def _cv2_fallback_decode(
+    path: str, target_height: int, target_width: int, rescale: bool
+) -> np.ndarray | None:
+    """Per-file fallback for images the native decoder rejects.
+
+    The native libjpeg path only accepts 3-component decodes; cv2.imread
+    additionally converts CMYK/YCCK JPEGs (and non-JPEG formats) to BGR, so
+    falling back per-file keeps the corpus composition identical to the
+    cv2/reference path (ADVICE r1).
+    """
+    if cv2 is None:
+        return None
+    im = cv2.imread(path)
+    if im is None:
+        return None
+    if rescale:
+        return rescale_image(im, target_height, target_width).astype(np.float32)
+    return cv2.resize(im, (target_width, target_height)).astype(np.float32)
+
+
 def get_content_dataset(
     size: int,
     rescale_height: int,
@@ -125,10 +145,18 @@ def get_content_dataset(
             out, ok = native_loader.decode_batch(
                 chunk, rescale_height, rescale_width, native_loader.MODE_RESIZE
             )
-            collected.extend(out[ok])
+            for j, path in enumerate(chunk):
+                if ok[j]:
+                    collected.append(out[j])
+                else:
+                    im = _cv2_fallback_decode(
+                        path, rescale_height, rescale_width, rescale=False
+                    )
+                    if im is not None:
+                        collected.append(im)
         if collected:
             return np.stack(collected)[:size]
-        # fall through to cv2 (e.g. non-JPEG content)
+        # fall through to cv2 (e.g. no decodable files at all)
 
     _require_cv2()
     images = np.zeros((size, rescale_height, rescale_width, 3), np.float32)
@@ -219,6 +247,22 @@ def get_painting_dataset(
     ``paintings_cache.npz`` replacing the 6-pickle scheme; the reference's
     ``full_int_*.pkl`` files are still read as a fallback when present.
     """
+    # Reference classifier-cache fast path (dataset.py:183-188): prebuilt
+    # normalized tensors + labels, stored NCHW; converted to this
+    # framework's canonical NHWC on load.
+    if for_classifier and load_pickle:
+        in_path = os.path.join(cache_dir, "in_tensors.npz")
+        out_path = os.path.join(cache_dir, "out_tensors.npz")
+        if os.path.exists(in_path) and os.path.exists(out_path):
+            ins = np.load(in_path)["arr_0"]
+            outs = np.load(out_path)["arr_0"]
+            if wordy:
+                print("Loaded!")  # dataset.py:187
+            return (
+                np.ascontiguousarray(ins.transpose(0, 2, 3, 1)).astype(np.float32),
+                np.asarray(outs, np.int32),
+            )
+
     names, counts = load_artist_names(archive_dir)
 
     npz_path = os.path.join(cache_dir, "paintings_cache.npz")
@@ -257,7 +301,17 @@ def get_painting_dataset(
                     for i in range(1, num + 1)
                 ]
                 out, ok = native_loader.decode_batch(paths, th, tw, native_loader.MODE_RESCALE)
-                rescaled[name] = out[ok] if ok.any() else np.zeros((0, th, tw, 3), np.float32)
+                imgs = []
+                for j, path in enumerate(paths):
+                    if ok[j]:
+                        imgs.append(out[j])
+                    else:
+                        im = _cv2_fallback_decode(path, th, tw, rescale=True)
+                        if im is not None:
+                            imgs.append(im)
+                rescaled[name] = (
+                    np.stack(imgs) if imgs else np.zeros((0, th, tw, 3), np.float32)
+                )
         else:
             dataset = _decode_paintings(names, counts, archive_dir, use_resized, wordy)
 

@@ -82,18 +82,29 @@ def load_transfer_params(path: str):
     return load_params_npz(path, template)
 
 
-def gaussian_blur_3x3(image_hwc: np.ndarray, sigma: float = 1.0) -> np.ndarray:
-    """cv2.GaussianBlur(ksize=(3,3)) equivalent (reference inference.py:120)."""
-    # cv2's 3-tap Gaussian kernel for given sigma
-    xs = np.arange(-1, 2, dtype=np.float64)
+def gaussian_blur(image_hwc: np.ndarray, sigma: float = 1.0, ksize: int = 3) -> np.ndarray:
+    """cv2.GaussianBlur((ksize, ksize), sigma) equivalent for odd ksize
+    (reference inference.py:42-43 BLUR_KERNEL/BLUR_SIGMA, applied at :120).
+
+    Separable sampled-Gaussian kernel; np.pad 'reflect' matches cv2's
+    default BORDER_REFLECT_101.
+    """
+    if ksize % 2 != 1:
+        raise ValueError(f"ksize must be odd, got {ksize}")
+    r = ksize // 2
+    xs = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(xs**2) / (2 * sigma * sigma))
     k /= k.sum()
-    pad = np.pad(image_hwc.astype(np.float64), ((1, 1), (1, 1), (0, 0)), mode="reflect")
-    out = (
-        pad[:-2] * k[0] + pad[1:-1] * k[1] + pad[2:] * k[2]
-    )
-    out = out[:, :-2] * k[0] + out[:, 1:-1] * k[1] + out[:, 2:] * k[2]
+    h, w = image_hwc.shape[:2]
+    pad = np.pad(image_hwc.astype(np.float64), ((r, r), (r, r), (0, 0)), mode="reflect")
+    rows = sum(pad[i : i + h] * k[i] for i in range(ksize))
+    out = sum(rows[:, i : i + w] * k[i] for i in range(ksize))
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def gaussian_blur_3x3(image_hwc: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """cv2.GaussianBlur(ksize=(3,3)) equivalent (reference inference.py:120)."""
+    return gaussian_blur(image_hwc, sigma, ksize=3)
 
 
 def sharpen(image_hwc: np.ndarray, sharpen_val: float = 50.0) -> np.ndarray:

@@ -19,31 +19,38 @@ import os
 import numpy as np
 
 from artist_style_transfer_tpu.models.resnet import ARTISTS_19
+from artist_style_transfer_tpu.utils.config import InferenceConfig
+
+_DEFAULTS = InferenceConfig()
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Flags mirror :class:`InferenceConfig` fields 1:1 (the dataclass is the
+    single source of defaults, mirroring reference inference.py:24-52)."""
+    d = _DEFAULTS
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--style_method", default="random")
-    p.add_argument("--artist", default="Pablo_Picasso")
-    p.add_argument("--model_filename", default=None,
+    p.add_argument("--style_method", default=d.style_method)
+    p.add_argument("--artist", default=d.artist)
+    p.add_argument("--model_filename", default=d.model_filename,
                    help="checkpoint inside models/<artist>/<method>/ (.pth or .ckpt)")
-    p.add_argument("--model_dir", default="models")
+    p.add_argument("--model_dir", default=d.model_dir)
     p.add_argument("--no-display", dest="display", action="store_false",
                    help="run quantitative classifier evaluation instead")
-    p.add_argument("--content_img", default="cuteimages/landscape.jpg")
-    p.add_argument("--content_size_w", type=int, default=1024)
-    p.add_argument("--sharpen", action="store_true")
-    p.add_argument("--sharpen_val", type=float, default=50.0)
-    p.add_argument("--blur", action="store_true")
-    p.add_argument("--blur_sigma", type=float, default=1.0)
-    p.add_argument("--content_dir", default="images/content/")
-    p.add_argument("--resize_imgs", action="store_true", default=True)
+    p.add_argument("--content_img", default=d.content_img)
+    p.add_argument("--content_size_w", type=int, default=d.content_size_w)
+    p.add_argument("--sharpen", action="store_true", default=d.sharpen)
+    p.add_argument("--sharpen_val", type=float, default=d.sharpen_val)
+    p.add_argument("--blur", action="store_true", default=d.blur)
+    p.add_argument("--blur_sigma", type=float, default=d.blur_sigma)
+    p.add_argument("--blur_kernel", type=int, default=d.blur_kernel)
+    p.add_argument("--content_dir", default=d.content_dir)
+    p.add_argument("--resize_imgs", action="store_true", default=d.resize_imgs)
     p.add_argument("--no-resize_imgs", dest="resize_imgs", action="store_false")
-    p.add_argument("--resize_size", type=int, default=1024)
-    p.add_argument("--num_images", type=int, default=133)
-    p.add_argument("--fig_dir", default="figs")
-    p.add_argument("--classifier_path", default="models/best-2.pth")
-    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resize_size", type=int, default=d.resize_size)
+    p.add_argument("--num_images", type=int, default=d.num_images)
+    p.add_argument("--fig_dir", default=d.fig_dir)
+    p.add_argument("--classifier_path", default=d.classifier_path)
+    p.add_argument("--seed", type=int, default=d.seed)
     return p
 
 
@@ -52,7 +59,7 @@ def run_display(args, params) -> str:
     import cv2
 
     from artist_style_transfer_tpu.infer.stylize import (
-        gaussian_blur_3x3,
+        gaussian_blur,
         save_figure,
         sharpen,
         stylize_batched,
@@ -68,7 +75,7 @@ def run_display(args, params) -> str:
     out = stylize_batched(params, [im.astype(np.float32)])[0]
 
     if args.blur:
-        out = gaussian_blur_3x3(out, args.blur_sigma)
+        out = gaussian_blur(out, args.blur_sigma, args.blur_kernel)
     if args.sharpen:
         out = sharpen(out, args.sharpen_val)
 
@@ -128,8 +135,22 @@ def run_eval(args, params) -> float:
     )
 
 
+def run_from_config(config: InferenceConfig, **overrides):
+    """Programmatic entry: run inference from an :class:`InferenceConfig`.
+
+    Fields map 1:1 onto the CLI flags; keyword overrides win.
+    """
+    import dataclasses
+
+    return _run(argparse.Namespace(**{**dataclasses.asdict(config), **overrides}))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    return _run(args)
+
+
+def _run(args):
     from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

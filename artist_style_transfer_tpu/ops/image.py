@@ -44,13 +44,21 @@ def vgg_caffe_preprocess(x_bgr_255: jax.Array) -> jax.Array:
     return x_bgr_255 - mean
 
 
-def torchvision_normalize(x_rgb_01: jax.Array) -> jax.Array:
+def torchvision_normalize(
+    x_rgb_01: jax.Array, reference_typo_stats: bool = False
+) -> jax.Array:
     """(x - mean) / std with torchvision ImageNet stats, RGB/[0,1] input.
 
     Equivalent to reference ``transforms.Normalize`` (inference.py:58) /
     the ``Normalize`` helper (train_cnn.py:85-98, classifier.py:28-39).
+
+    ``reference_typo_stats=True`` reproduces the reference *training* path's
+    G-mean typo 0.546 (train_cnn.py:272; the correct 0.456 is what the
+    classifier's own eval transform uses) — only for strict trajectory
+    comparison against the reference's classifier-mode training.
     """
-    mean = jnp.asarray(TORCHVISION_MEAN_RGB, dtype=x_rgb_01.dtype)
+    mean_vals = (0.485, 0.546, 0.406) if reference_typo_stats else TORCHVISION_MEAN_RGB
+    mean = jnp.asarray(mean_vals, dtype=x_rgb_01.dtype)
     std = jnp.asarray(TORCHVISION_STD_RGB, dtype=x_rgb_01.dtype)
     return (x_rgb_01 - mean) / std
 

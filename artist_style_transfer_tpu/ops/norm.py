@@ -1,9 +1,8 @@
 """Normalization ops: instance norm (per-sample, over H,W) and inference batch norm.
 
 Instance norm is the TransformerNet's workhorse (reference cnn.py:68); in JAX
-it is a handful of fused VPU ops. A Pallas TPU kernel lives in
-:mod:`artist_style_transfer_tpu.ops.pallas.instnorm_kernel`; this module's
-XLA version is the reference implementation and the CPU fallback.
+it is a handful of fused VPU ops that XLA fuses into the surrounding convs —
+no hand-written kernel needed.
 """
 
 from __future__ import annotations

@@ -67,6 +67,15 @@ def train(
     preview_every: int = 0,
     export_pth: bool = True,
     wordy: bool = True,
+    # Streaming-corpus mode (corpus > HBM): a callable (epoch: int) ->
+    # iterable of (B, H, W, 3) BGR [0,255] host batches. The corpus never
+    # becomes device-resident; batches flow through
+    # data.prefetch.device_prefetch (2 in flight, host->device DMA of batch
+    # k+1 overlapping step k) into a per-batch jitted step that computes
+    # content features in-graph. With a mesh, every yielded batch must be
+    # divisible by the mesh size. content_data_size still sets
+    # steps-per-epoch for the LR schedule.
+    content_stream=None,
     # In-memory data/param hooks (tests + programmatic use); when provided,
     # the corresponding file/dataset loads are skipped.
     content_images: np.ndarray | None = None,
@@ -78,6 +87,8 @@ def train(
     compute_dtype: str = "float32",
     remat: bool = False,
     profile_dir: str | None = None,
+    log_every_batches: int = 12,  # reference BATCH_INFO_EVERY (train_cnn.py:29)
+    reference_typo_stats: bool = False,  # reproduce train_cnn.py:272's 0.546 G mean
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -100,9 +111,16 @@ def train(
     # (train_cnn.py:173-178).
     prefix = None
     if model_dir:
-        prefix = ckpt.save_dir_prefix(
-            model_dir, artist, style_method, content_weight, style_weight, bump=not resume
-        )
+        if resume:
+            # Probe both transfer_/transfer2_ stems for the newest checkpoint
+            # (a 2nd run in this dir checkpoints under transfer2_).
+            prefix = ckpt.resume_prefix(
+                model_dir, artist, style_method, content_weight, style_weight
+            )
+        else:
+            prefix = ckpt.save_dir_prefix(
+                model_dir, artist, style_method, content_weight, style_weight, bump=True
+            )
 
     log = MetricLogger(
         jsonl_path=os.path.join(model_dir, artist, style_method, "metrics.jsonl")
@@ -119,16 +137,20 @@ def train(
         classifier_params = classifier_params_from_torch(load_torch_state_dict(classifier_path))
 
     # --- Content corpus (device-resident for the whole run) ----------------
-    if content_images is None:
-        from artist_style_transfer_tpu.data.datasets import get_content_dataset
+    if content_stream is not None:
+        content_data = None
+        n_content = content_data_size
+    else:
+        if content_images is None:
+            from artist_style_transfer_tpu.data.datasets import get_content_dataset
 
-        if wordy:
-            print("Getting content dataset!")  # train_cnn.py:168
-        content_images = get_content_dataset(
-            content_data_size, train_size, train_size, content_dir=content_dir, seed=seed
-        )
-    content_data = jnp.asarray(content_images, jnp.float32)
-    n_content = content_data.shape[0]
+            if wordy:
+                print("Getting content dataset!")  # train_cnn.py:168
+            content_images = get_content_dataset(
+                content_data_size, train_size, train_size, content_dir=content_dir, seed=seed
+            )
+        content_data = jnp.asarray(content_images, jnp.float32)
+        n_content = content_data.shape[0]
 
     # --- Style targets ------------------------------------------------------
     if wordy:
@@ -175,7 +197,9 @@ def train(
         )
 
     # --- Optimizer + compiled epoch ----------------------------------------
-    steps_per_epoch = n_content // batch_size
+    # ceil: the ragged final batch is kept, like the reference DataLoader
+    # (train_cnn.py:170); it counts as a step for the LR schedule too.
+    steps_per_epoch = -(-n_content // batch_size)
     tx = make_optimizer(lr, weight_decay, num_epochs, num_steps, steps_per_epoch)
     opt_state = tx.init(params)
     fns = make_step_fns(
@@ -192,13 +216,16 @@ def train(
         use_pallas=use_pallas,
         compute_dtype=compute_dtype,
         remat=remat,
+        reference_typo_stats=reference_typo_stats,
     )
 
-    content_r22 = precompute_content_relu2_2(
-        vgg_params,
-        content_data,
-        dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
-    )
+    content_r22 = None
+    if content_data is not None:
+        content_r22 = precompute_content_relu2_2(
+            vgg_params,
+            content_data,
+            dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else None,
+        )
 
     start_epoch = 0
     losses = np.full((num_epochs, 3), -1.0, np.float64)
@@ -239,17 +266,39 @@ def train(
             jax.profiler.start_trace(profile_dir)
             profiling = True
         t_ep = time.time()
-        perm = epoch_permutation(seed, epoch, n_content)
         base_step = jnp.int32(epoch * steps_per_epoch)
-        params, opt_state, epoch_losses = fns.epoch_fn(
-            params, opt_state, content_data, content_r22, grams, labels, perm, base_step
-        )
-        el = np.asarray(jax.device_get(epoch_losses), np.float64)
+        if content_stream is not None:
+            params, opt_state, step_losses = _run_stream_epoch(
+                fns, params, opt_state, content_stream, epoch, base_step,
+                grams, labels, mesh,
+            )
+        else:
+            perm = epoch_permutation(seed, epoch, n_content)
+            params, opt_state, step_losses = fns.epoch_fn(
+                params, opt_state, content_data, content_r22, grams, labels, perm, base_step
+            )
+        step_losses = np.asarray(jax.device_get(step_losses), np.float64)
+        el = step_losses.sum(axis=0)
         if profiling:
             jax.profiler.stop_trace()
             profiling = False
             log.log("profile_written", dir=profile_dir)
         losses[epoch] = el
+        if log_every_batches:
+            # Per-batch telemetry (reference prints losses every
+            # BATCH_INFO_EVERY batches, train_cnn.py:355-357). The scan
+            # already stacks per-step losses, so this costs nothing extra
+            # on device; a NaN step is identifiable from metrics.jsonl.
+            for s in range(0, steps_per_epoch, log_every_batches):
+                log.log(
+                    "batch",
+                    epoch=epoch + 1,
+                    batch=s + 1,
+                    content_loss=float(step_losses[s, 0]),
+                    style_loss=float(step_losses[s, 1]),
+                    total_loss=float(step_losses[s, 2]),
+                    stdout=False,
+                )
         dt = time.time() - t_ep
         log.log(
             "epoch",
@@ -262,7 +311,10 @@ def train(
         )
         if prefix is not None and epoch % save_every == 0:
             ckpt.save_checkpoint(prefix, epoch, params, opt_state, losses, completed_epochs=epoch + 1)
-        if prefix is not None and preview_every and epoch % preview_every == 0:
+        if (
+            prefix is not None and preview_every and epoch % preview_every == 0
+            and content_data is not None
+        ):
             # Content/Style/Transformed panel, written as a file — the
             # reference's live matplotlib preview (train_cnn.py:337-354)
             # without blocking the hot loop.
@@ -325,10 +377,44 @@ def train_from_config(config, **overrides):
         weight_decay=config.weight_decay,
         model_dir=config.model_dir,
         compute_dtype=config.compute_dtype,
+        log_every_batches=config.log_every_batches,
+        # data_dir is the root of the reference's images/ layout
+        # (dataset.py:12-13): content under <data_dir>/content/, the Kaggle
+        # archive under <data_dir>/archive/.
+        content_dir=os.path.join(config.data_dir, "content/"),
+        archive_dir=os.path.join(config.data_dir, "archive/"),
         mesh=mesh,
     )
     kwargs.update(overrides)
     return train(**kwargs)
+
+
+def _run_stream_epoch(
+    fns, params, opt_state, content_stream, epoch, base_step, grams, labels, mesh
+):
+    """One epoch over a streamed corpus: host batches flow through
+    device_prefetch (2 transfers in flight) into the per-batch jitted step.
+
+    Loss scalars are fetched only after the epoch so steps stay async.
+    """
+    from artist_style_transfer_tpu.data.prefetch import device_prefetch
+
+    sharding = None
+    if mesh is not None:
+        from artist_style_transfer_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    out = []
+    batches = (np.asarray(b, np.float32) for b in content_stream(epoch))
+    for i, batch in enumerate(device_prefetch(batches, buffer_size=2, sharding=sharding)):
+        params, opt_state, l3 = fns.stream_step_fn(
+            params, opt_state, batch, grams, labels, base_step + i
+        )
+        out.append(l3)
+    if not out:
+        raise ValueError(f"content_stream yielded no batches for epoch {epoch}")
+    losses = np.stack([np.asarray(jax.device_get(l)) for l in out])
+    return params, opt_state, losses
 
 
 def _save_style_jpg(directory: str, image_bgr_255: np.ndarray, second: bool = False) -> None:

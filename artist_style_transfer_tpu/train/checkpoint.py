@@ -37,6 +37,38 @@ def fmt_weight(w) -> str:
     return str(int(w)) if float(w) == int(w) else str(w)
 
 
+def resume_prefix(model_dir: str, artist: str, method: str, cw, sw) -> str:
+    """Prefix to resume from: probe BOTH name stems.
+
+    A second run in the same artist/method dir checkpoints under
+    'transfer2_' (the reference's name bump, train_cnn.py:173-178), so
+    resuming must not blindly resolve 'transfer_' — that would silently
+    restart at epoch 0 and overwrite the first run. Picks the stem whose
+    newest checkpoint is most recently modified; warns loudly when neither
+    has one.
+    """
+    d = os.path.join(model_dir, artist, method)
+    w = f"{fmt_weight(cw)}-{fmt_weight(sw)}"
+    candidates = [os.path.join(d, f"{stem}{w}") for stem in ("transfer_", "transfer2_")]
+    best, best_mtime = None, -1.0
+    for prefix in candidates:
+        found = latest_checkpoint(prefix)
+        if found is not None:
+            mtime = os.path.getmtime(found[0])
+            if mtime > best_mtime:
+                best, best_mtime = prefix, mtime
+    if best is None:
+        import warnings
+
+        warnings.warn(
+            f"resume=True but no checkpoint found under {d}; starting fresh",
+            stacklevel=2,
+        )
+        os.makedirs(d, exist_ok=True)
+        return candidates[0]
+    return best
+
+
 def save_checkpoint(
     prefix: str,
     epoch_label: int,

@@ -76,9 +76,17 @@ def make_optimizer(
 class StepFns:
     """Compiled train-epoch and preview functions for one configuration."""
 
-    epoch_fn: Callable  # (params, opt_state, data, r22, grams, labels, perm, base_step)
+    # (params, opt_state, data, r22, grams, labels, perm, base_step)
+    #   -> (params, opt_state, per-step (steps_per_epoch, 3) loss stack)
+    epoch_fn: Callable
     loss_fn: Callable
     steps_per_epoch: int
+    # Streaming-corpus step (corpus > HBM): (params, opt_state, batch,
+    # grams, labels, step) -> (params, opt_state, (3,) losses). The batch
+    # arrives from data.prefetch.device_prefetch; its relu2_2 content
+    # features are computed in-graph (they cannot be precomputed when the
+    # corpus streams through).
+    stream_step_fn: Callable | None = None
 
 
 def make_step_fns(
@@ -96,6 +104,7 @@ def make_step_fns(
     use_pallas: str | bool = "auto",
     compute_dtype: str = "float32",
     remat: bool = False,
+    reference_typo_stats: bool = False,
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
@@ -107,8 +116,16 @@ def make_step_fns(
     precision: master params, optimizer state, and loss reductions stay
     f32) — the throughput mode; 'float32' is the parity mode.
     """
-    steps_per_epoch = num_content // batch_size
-    if steps_per_epoch == 0:
+    # Partial final batch: the reference DataLoader keeps it
+    # (train_cnn.py:170, drop_last defaults False), so when batch_size does
+    # not divide the corpus the epoch runs floor(N/B) full steps in the scan
+    # plus ONE ragged step jitted at its own static shape (compiled once per
+    # run — shapes stay static, no masking needed, and the MSE mean
+    # normalizes by the true ragged size exactly like torch).
+    steps_full = num_content // batch_size
+    num_tail = num_content % batch_size
+    steps_per_epoch = steps_full + (1 if num_tail else 0)
+    if steps_full == 0:
         raise ValueError(
             f"content_data_size={num_content} < batch_size={batch_size}"
         )
@@ -144,9 +161,13 @@ def make_step_fns(
 
         if mode == "classifier":
             # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
-            # we use the correct 0.456 G mean, not the reference's 0.546 typo)
+            # default = the correct 0.456 G mean, not the reference's 0.546
+            # typo; reference_typo_stats=True reproduces the typo for strict
+            # trajectory comparison)
             rgb01 = bgr_to_rgb(gen) / 255.0
-            logits = classifier_apply(clf_p, torchvision_normalize(rgb01))
+            logits = classifier_apply(
+                clf_p, torchvision_normalize(rgb01, reference_typo_stats)
+            )
             s_loss = style_weight * cross_entropy_loss(logits, labels)
         else:
             if mode == "cycle":
@@ -169,25 +190,45 @@ def make_step_fns(
     # closure constant — closed-over arrays get baked into the HLO as
     # literals, bloating the program and round-tripping the weights through
     # the host at lowering time.
+    # The ragged tail batch only DP-shards cleanly when the mesh divides it.
+    tail_mesh = (
+        mesh if (mesh is not None and num_tail % mesh.devices.size == 0) else None
+    )
+
     def epoch_arg_fn(params, opt_state, content_data, content_r22, grams,
                      labels, perm, base_step, vgg_p, clf_p):
-        def body(carry, i):
-            params, opt_state = carry
-            idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
-            batch = shard_batch(jnp.take(content_data, idx, axis=0), mesh)
-            r22 = shard_batch(jnp.take(content_r22, idx, axis=0), mesh)
-            step = base_step + i
+        def one_step(params, opt_state, idx, step, step_mesh):
+            batch = shard_batch(jnp.take(content_data, idx, axis=0), step_mesh)
+            r22 = shard_batch(jnp.take(content_r22, idx, axis=0), step_mesh)
+            step_labels = None if labels is None else labels[: idx.shape[0]]
             (total, (c_l, s_l)), grads = grad_fn(
-                params, batch, r22, grams, labels, step, vgg_p, clf_p
+                params, batch, r22, grams, step_labels, step, vgg_p, clf_p
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), jnp.stack([c_l, s_l, total])
+            return params, opt_state, jnp.stack([c_l, s_l, total])
+
+        def body(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+            params, opt_state, losses = one_step(
+                params, opt_state, idx, base_step + i, mesh
+            )
+            return (params, opt_state), losses
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps_per_epoch)
+            body, (params, opt_state), jnp.arange(steps_full)
         )
-        return params, opt_state, jnp.sum(losses, axis=0)
+        if num_tail:
+            idx = jax.lax.dynamic_slice_in_dim(perm, steps_full * batch_size, num_tail)
+            params, opt_state, tail_losses = one_step(
+                params, opt_state, idx, base_step + steps_full, tail_mesh
+            )
+            losses = jnp.concatenate([losses, tail_losses[None]], axis=0)
+        # Per-step [content, style, total] stack — callers sum for the
+        # reference's per-epoch bookkeeping (train_cnn.py:376-378) and log
+        # per-batch entries (train_cnn.py:355-357) from the same array.
+        return params, opt_state, losses
 
     epoch_core = jax.jit(epoch_arg_fn, donate_argnums=(0, 1))
 
@@ -197,7 +238,43 @@ def make_step_fns(
             perm, base_step, vgg_compute, classifier_params,
         )
 
-    return StepFns(epoch_fn=epoch_jit, loss_fn=loss_fn, steps_per_epoch=steps_per_epoch)
+    # --- Streaming step (one jit per distinct batch shape) ------------------
+    def stream_step_arg(params, opt_state, batch, grams, labels, step,
+                        vgg_full, vgg_p, clf_p):
+        batch = shard_batch(batch, mesh if batch.shape[0] % _mesh_size(mesh) == 0 else None)
+        # Same computation as precompute_content_relu2_2, inlined: full-f32
+        # features (vgg_full) cast to the resident-path storage dtype so the
+        # streaming trajectory matches the resident one; the generated-image
+        # pass inside grad_fn still uses the compute-dtype VGG.
+        r22 = vgg16_features(vgg_full, vgg_caffe_preprocess(batch), just_content=True)
+        if cdtype != jnp.float32:
+            r22 = r22.astype(cdtype)
+        step_labels = None if labels is None else labels[: batch.shape[0]]
+        (total, (c_l, s_l)), grads = grad_fn(
+            params, batch, r22, grams, step_labels, step, vgg_p, clf_p
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, jnp.stack([c_l, s_l, total])
+
+    stream_core = jax.jit(stream_step_arg, donate_argnums=(0, 1))
+
+    def stream_step_jit(params, opt_state, batch, grams, labels, step):
+        return stream_core(
+            params, opt_state, batch, grams, labels, step,
+            vgg_params, vgg_compute, classifier_params,
+        )
+
+    return StepFns(
+        epoch_fn=epoch_jit,
+        loss_fn=loss_fn,
+        steps_per_epoch=steps_per_epoch,
+        stream_step_fn=stream_step_jit,
+    )
+
+
+def _mesh_size(mesh) -> int:
+    return 1 if mesh is None else int(mesh.devices.size)
 
 
 @jax.jit

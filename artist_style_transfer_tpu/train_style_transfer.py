@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision throughput mode")
+    p.add_argument("--log_every_batches", type=int, default=12,
+                   help="per-batch loss records in metrics.jsonl (0 = off); "
+                        "reference BATCH_INFO_EVERY")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -77,6 +83,8 @@ def main(argv=None) -> None:
         cache_dir=args.cache_dir,
         mesh=mesh,
         resume=args.resume,
+        compute_dtype=args.compute_dtype,
+        log_every_batches=args.log_every_batches,
         wordy=not args.quiet,
     )
 

@@ -59,3 +59,5 @@ class InferenceConfig:
     num_images: int = 133
     fig_dir: str = "figs"
     model_dir: str = "models"
+    classifier_path: str = "models/best-2.pth"
+    seed: int | None = None  # shuffle seed for eval image selection

@@ -24,11 +24,13 @@ class MetricLogger:
         else:
             self._f = None
 
-    def log(self, event: str, **fields) -> None:
+    def log(self, event: str, stdout: bool | None = None, **fields) -> None:
+        """Log one event. ``stdout=False`` writes only to the JSONL stream
+        (used for high-rate per-batch records)."""
         rec = {"event": event, "t": round(time.time() - self._start, 3), **fields}
         if self._f:
             self._f.write(json.dumps(rec, default=float) + "\n")
-        if self.stdout:
+        if self.stdout and stdout is not False:
             kv = "\t".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in fields.items()

@@ -168,7 +168,7 @@ def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) 
         params, opt_state, losses = fns.epoch_fn(
             params, opt_state, content, r22, targets.grams, None, perm, jnp.int32(0)
         )
-        float(losses[0])  # completion barrier via scalar fetch
+        float(losses[-1, 2])  # completion barrier via scalar fetch
         return params, opt_state
 
     # Measure sequentially and free each corpus before the next — holding

@@ -119,3 +119,22 @@ def test_avg_dataset(workspace):
     assert avg["Artist_One"].shape == (16, 16, 3)
     assert avg["Artist_One"].dtype == np.float32
     assert 0 <= avg["Artist_One"].min() and avg["Artist_One"].max() <= 255
+
+
+def test_classifier_cache_fast_path(workspace):
+    """dicts/in_tensors.npz + out_tensors.npz short-circuit the corpus build
+    (reference dataset.py:183-188); NCHW cache -> NHWC canonical layout."""
+    rng = np.random.default_rng(4)
+    ins = rng.standard_normal((5, 3, 16, 16)).astype(np.float32)
+    outs = np.array([0, 0, 1, 1, 1], np.int64)
+    np.savez(workspace / "dicts" / "in_tensors.npz", ins)
+    np.savez(workspace / "dicts" / "out_tensors.npz", outs)
+    images, labels = get_painting_dataset(
+        for_classifier=True,
+        archive_dir=str(workspace / "images" / "archive") + "/",
+        cache_dir=str(workspace / "dicts") + "/",
+    )
+    assert images.shape == (5, 16, 16, 3)
+    np.testing.assert_allclose(images, ins.transpose(0, 2, 3, 1))
+    assert labels.dtype == np.int32
+    np.testing.assert_array_equal(labels, outs)

@@ -70,3 +70,27 @@ def test_content_dataset_uses_native_path():
     assert images.shape == (4, 48, 48, 3)
     assert images.dtype == np.float32
     assert images.max() > 1.0  # [0,255] scale
+
+
+def test_native_reject_falls_back_to_cv2_per_file(tmp_path):
+    """A file the native JPEG decoder rejects (here: a PNG named .jpg) must
+    still enter the corpus via the per-file cv2 fallback (ADVICE r1 —
+    cv2.imread handles CMYK JPEGs and other formats the fast path doesn't)."""
+    import cv2
+
+    from artist_style_transfer_tpu.data import get_content_dataset
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = (rng.random((30, 30, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"good{i}.jpg"), img)
+    png = (rng.random((30, 30, 3)) * 255).astype(np.uint8)
+    ok = cv2.imwrite(str(tmp_path / "sneaky.jpg.png"), png)
+    assert ok
+    os.rename(tmp_path / "sneaky.jpg.png", tmp_path / "sneaky.jpg")
+
+    images = get_content_dataset(3, 24, 24, content_dir=str(tmp_path), seed=0)
+    assert images.shape == (3, 24, 24, 3), "PNG-in-.jpg must not be dropped"
+    # and the fallback content matches a direct cv2 decode+resize
+    want = cv2.resize(cv2.imread(str(tmp_path / "sneaky.jpg")), (24, 24)).astype(np.float32)
+    assert min(float(np.abs(im - want).max()) for im in images) == 0.0

@@ -325,3 +325,41 @@ def test_train_resume(tmp_path):
 
     for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_res)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_train_resume_second_run_prefix(tmp_path):
+    """Resume picks up a run checkpointed under the bumped 'transfer2_'
+    prefix (2nd run in the same dir) instead of silently restarting and
+    overwriting the first run's 'transfer_' files (ADVICE r1)."""
+    import os
+
+    from artist_style_transfer_tpu.train import train
+
+    rng = np.random.default_rng(8)
+    content = (rng.random((2, H, W, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    _, _, _, vgg_params = _make_oracles()
+
+    kwargs = dict(
+        style_method="random", artist="A", batch_size=2, content_data_size=2,
+        seed=2, save_every=1, content_images=content, paintings=paintings,
+        vgg_params=vgg_params, export_pth=False, wordy=False,
+        use_pallas=False, model_dir=str(tmp_path),
+    )
+    # run 1 completes -> transfer_ files exist
+    train(num_epochs=2, **kwargs)
+    d = tmp_path / "A" / "random"
+    first_files = {n: os.path.getmtime(d / n) for n in os.listdir(d) if "transfer_" in n}
+    assert first_files
+
+    # run 2 in the same dir -> bumped transfer2_ prefix; interrupt it
+    train(num_epochs=4, max_epochs_this_run=2, **kwargs)
+    assert any("transfer2_" in n for n in os.listdir(d))
+
+    # resume must continue run 2 (epoch 2 -> 4), not restart run 1
+    _, l_res = train(num_epochs=4, resume=True, **kwargs)
+    assert np.all(l_res >= 0), "all 4 epochs accounted for (first 2 restored)"
+    assert any(n.startswith("transfer2_") and n.endswith("_4.ckpt") for n in os.listdir(d))
+    # run 1's files untouched
+    for n, mtime in first_files.items():
+        assert os.path.getmtime(d / n) == mtime, f"{n} was overwritten"
