@@ -112,7 +112,13 @@ def style_loss_gram(
     for name in VGG_LAYER_NAMES:
         feats = gen_features[name]
         c = feats.shape[-1]
-        if use_pallas and c % 128 == 0 and (feats.shape[1] * feats.shape[2]) % 8 == 0:
+        hw = feats.shape[1] * feats.shape[2]
+        # The fused kernel needs healthy HW tiles: when HW is not a
+        # multiple of 512 the divisor fallback degrades to 16-64-row tiles
+        # (training resolutions have HW = 49*2^k) and XLA's batched matmul
+        # wins by ~2x (round-2 profiling) — dispatch Pallas only where its
+        # tiling is full-size.
+        if use_pallas and c % 128 == 0 and hw % 512 == 0:
             loss = loss + _gram_mse_fused(feats, target_grams[name])
         else:
             g = gram_matrix(feats, use_pallas=use_pallas)

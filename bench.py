@@ -157,7 +157,10 @@ def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) 
             "cycle", vgg_params, None, targets,
             content_weight=17.0, style_weight=25.0,
             batch_size=batch_size, num_content=n_content, tx=tx,
-            compute_dtype="bfloat16", remat=True,
+            # remat measured 27% slower here: the bf16 relu2_2 cache freed
+            # enough HBM that b96 fits without it, and the recomputed
+            # forward costs ~40 ms/step (round-2 profiling).
+            compute_dtype="bfloat16", remat=False,
         )
         r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)
