@@ -21,9 +21,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect, conv_transpose2d
+from artist_style_transfer_tpu.ops.conv import (
+    conv2d,
+    conv2d_reflect,
+    conv2d_reflect_dxfactored,
+    conv_transpose2d,
+)
 from artist_style_transfer_tpu.ops.norm import instance_norm
 from artist_style_transfer_tpu.ops.pad import reflect_pad_hw  # noqa: F401 (bit-exact alternative)
+from artist_style_transfer_tpu.ops.precision import get_precision
 
 # (kernel, stride, in_ch, out_ch) for the four encoder conv layers (cnn.py:15-24).
 ENCODER_SPEC = ((9, 1, 3, 32), (3, 2, 32, 64), (3, 2, 64, 128), (1, 1, 128, 128))
@@ -115,6 +121,12 @@ def transformer_apply(params: dict, x: jax.Array) -> jax.Array:
     for p, (k, s, op, _, _) in zip(params["decoder"], DECODER_SPEC):
         x = jax.nn.relu(_deconv_in(p, x, k, s, op))
     k = OUTPUT_CONV[0]
+    if get_precision() != "highest":
+        # Fast mode: dy/dx-factored output conv — same math, MXU-healthy
+        # shapes for C_out=3 (see conv2d_reflect_dxfactored; 2.1x fwd+bwd).
+        return conv2d_reflect_dxfactored(
+            x, params["output"]["w"], params["output"]["b"]
+        )
     x = reflect_pad_hw(x, k // 2)
     return conv2d(x, params["output"]["w"], params["output"]["b"], stride=1, padding=0)
 

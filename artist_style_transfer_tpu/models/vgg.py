@@ -17,7 +17,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from artist_style_transfer_tpu.ops.conv import conv2d, max_pool2d
+from artist_style_transfer_tpu.ops.conv import (
+    conv2d,
+    conv2d_frozen_smallcin,
+    max_pool2d,
+)
+from artist_style_transfer_tpu.ops.precision import get_precision
 
 VGG_LAYER_NAMES = ("relu1_2", "relu2_2", "relu3_3", "relu4_3")
 
@@ -69,7 +74,13 @@ def vgg16_features(
             x = max_pool2d(x, 2, 2)
             continue
         p = params[conv_i]
-        x = jax.nn.relu(conv2d(x, p["w"], p["b"], stride=1, padding=1))
+        if conv_i == 0 and get_precision() != "highest":
+            # VGG is always frozen here (train_cnn.py:60-61); in fast mode
+            # route conv1_1 through the frozen-layer op so the gradient back
+            # into the generated image avoids the C=3 MXU-lane pathology.
+            x = jax.nn.relu(conv2d_frozen_smallcin(x, p["w"], p["b"], 1))
+        else:
+            x = jax.nn.relu(conv2d(x, p["w"], p["b"], stride=1, padding=1))
         name = _TAP_AFTER_CONV.get(conv_i)
         if name is not None:
             if just_content and name == "relu2_2":

@@ -12,6 +12,8 @@ Weight layout is HWIO (TPU-native). Importers convert torch's OIHW
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 
@@ -185,6 +187,113 @@ def conv2d_reflect(
         band = valid_conv(reflect_hi(mid[:, :, start:], 2))
         y = y.at[:, r0_out:r1_out, w_out - n_right :].set(band)
     return y
+
+
+@_functools.lru_cache(maxsize=None)
+def _dx_selector(k: int, cout: int, dtype_name: str):
+    """Fixed 1xK selector kernel for :func:`conv2d_reflect_dxfactored`.
+
+    sel[0, dx, dx*cout + co, co] = 1 — contracting it over the packed
+    (dx, co) channel axis sums each output channel's K horizontal taps.
+    """
+    import numpy as np
+
+    sel = np.zeros((1, k, k * cout, cout), np.float32)
+    for dx in range(k):
+        for co in range(cout):
+            sel[0, dx, dx * cout + co, co] = 1.0
+    # Cast in numpy (ml_dtypes covers bf16): an in-trace jnp cast would cache
+    # a tracer here and leak it into later traces.
+    return np.ascontiguousarray(sel.astype(jnp.dtype(dtype_name)))
+
+
+def conv2d_reflect_dxfactored(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    b: jax.Array | None = None,
+    precision: str | None = None,
+) -> jax.Array:
+    """Reflect-pad + stride-1 KxK conv, reparameterized for tiny C_out.
+
+    Mathematically identical to ``conv2d(reflect_pad_hw(x, k//2), w, b)``
+    (same multiplies, re-associated), but expressed as a Kx1 conv mapping
+    C_in -> K*C_out channels (the horizontal tap dx packed into the output
+    channel) followed by a fixed 1xK 0/1 selector conv that sums the taps.
+
+    Why: the TransformerNet's 9x9 output conv has C_out=3 (cnn.py:39),
+    which drives 125/128 of the MXU output lanes idle in the forward pass
+    AND gives the weight-gradient matmul a 3-wide contraction operand — XLA
+    profiling showed that one wgrad fusion alone at 12.1 ms of a 149 ms
+    train step. The factored form gives every pass K*C_out(=27)-wide
+    channels; measured fwd+bwd 12.9 ms vs 27.2 ms direct (b96, 224x224,
+    bf16). Summation order differs from the direct conv, so results match
+    only to dtype rounding (~7e-3 rel in bf16) — dispatch this under fast
+    precision only; parity mode keeps the direct conv.
+    """
+    k, cin, cout = w_hwio.shape[0], w_hwio.shape[2], w_hwio.shape[3]
+    pad = k // 2
+    from artist_style_transfer_tpu.ops.pad import reflect_pad_hw
+
+    wp = jnp.transpose(w_hwio, (0, 2, 1, 3)).reshape(k, 1, cin, k * cout)
+    hp = reflect_pad_hw(x, pad)
+    p = conv2d(hp, wp, None, stride=1, padding=0, precision=precision)
+    sel = _dx_selector(k, cout, x.dtype.name)
+    return conv2d(p, sel, b, stride=1, padding=0, precision=precision)
+
+
+def _conv2d_small_cout_zeropad(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    pad: int,
+    precision: str | None = None,
+) -> jax.Array:
+    """Zero-padded stride-1 conv via the dx-factored form (tiny C_out)."""
+    k, cin, cout = w_hwio.shape[0], w_hwio.shape[2], w_hwio.shape[3]
+    wp = jnp.transpose(w_hwio, (0, 2, 1, 3)).reshape(k, 1, cin, k * cout)
+    hp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    p = conv2d(hp, wp, None, stride=1, padding=0, precision=precision)
+    sel = _dx_selector(k, cout, x.dtype.name)
+    return conv2d(p, sel, None, stride=1, padding=0, precision=precision)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv2d_frozen_smallcin(x, w_hwio, b, padding: int = 1):
+    """``conv2d`` for a FROZEN first conv layer with tiny C_in (stride 1).
+
+    Forward is exactly ``conv2d(x, w, b, stride=1, padding=padding)``. The
+    VJP differs in two ways, both for the hot perceptual-loss path where
+    gradients flow through a frozen feature extractor back into the
+    generated image (reference train_cnn.py:60-61 freezes VGG):
+
+    - the weight/bias cotangents are **zero** (the layer is frozen — do not
+      use this op if the conv's own weights are being trained), saving the
+      pathological (3-channel-operand) weight-gradient matmul;
+    - the input gradient — a transposed conv with C_out = C_in = 3, which
+      idles 125/128 MXU output lanes — is computed in the dx-factored form
+      (see :func:`conv2d_reflect_dxfactored`).
+    """
+    return conv2d(x, w_hwio, b, stride=1, padding=padding)
+
+
+def _conv2d_frozen_fwd(x, w_hwio, b, padding):
+    return conv2d(x, w_hwio, b, stride=1, padding=padding), (x, w_hwio, b)
+
+
+def _conv2d_frozen_bwd(padding, res, dy):
+    x, w_hwio, b = res
+    k = w_hwio.shape[0]
+    # dx = conv(zero_pad(dy, k-1-p), flip_hw(w)^T) — the standard conv
+    # data-gradient, factored for its tiny output-channel count.
+    w_t = jnp.transpose(w_hwio[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv2d_small_cout_zeropad(dy, w_t, k - 1 - padding)
+    return (
+        dx.astype(x.dtype),
+        jnp.zeros_like(w_hwio),
+        None if b is None else jnp.zeros_like(b),
+    )
+
+
+conv2d_frozen_smallcin.defvjp(_conv2d_frozen_fwd, _conv2d_frozen_bwd)
 
 
 def linear(

@@ -80,15 +80,17 @@ def _gram_mse_bwd(res, g):
     n, h, w, c = features.shape
     scale = 1.0 / float(c * h * w)
     coef = (4.0 * g / (n * c * c)) * scale
-    f = features.reshape(n, h * w, c).astype(jnp.float32)
+    # 4-D contraction, features kept in their storage dtype: a reshape to
+    # (N, HW, C) + f32 cast costs two full-tensor HBM round trips (layout
+    # copy + widened copy); only the tiny (N, C, C) residual is cast.
     df = jax.lax.dot_general(
-        f,
-        resid,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        features,
+        resid.astype(features.dtype),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * coef
     dt = jnp.zeros_like(target)  # targets are frozen constants
-    return df.reshape(features.shape).astype(features.dtype), dt
+    return df.astype(features.dtype), dt
 
 
 _gram_mse_fused.defvjp(_gram_mse_fwd, _gram_mse_bwd)

@@ -7,6 +7,8 @@ no hand-written kernel needed.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +19,21 @@ INSTANCE_NORM_EPS = 1e-5
 BATCH_NORM_EPS = 1e-5
 
 
+def _in_forward(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
+    """Instance-norm forward; returns (y, mean, inv) with f32 stats."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    if get_precision() == "highest":
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    else:
+        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (((x32 - mean) * inv).astype(x.dtype)) * scale + bias
+    return y, mean, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def instance_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -35,16 +52,42 @@ def instance_norm(
     E[x^2] - mean^2 otherwise — one fewer full read of the activation
     (~12% whole-net throughput at 512x512), at a small, measured PSNR cost
     (both forms compute stats in f32).
+
+    Differentiation uses a hand-derived VJP: JAX autodiff of the stats
+    chain saves the f32 ``(x - mean)`` intermediate as a residual — a
+    widened full-activation HBM round trip per IN layer (the TransformerNet
+    has 17 of them; measured ~16 ms of a 149 ms train step). The custom
+    rule saves only ``x`` (already resident) plus the (N,1,1,C) stats and
+    recomputes x-hat inside the backward fusions.
     """
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    if get_precision() == "highest":
-        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    else:
-        m2 = jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
-        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + eps)
-    return (((x32 - mean) * inv).astype(x.dtype)) * scale + bias
+    y, _, _ = _in_forward(x, scale, bias, eps)
+    return y
+
+
+def _in_fwd(x, scale, bias, eps):
+    y, mean, inv = _in_forward(x, scale, bias, eps)
+    return y, (x, mean, inv, scale)
+
+
+def _in_bwd(eps, res, dy):
+    """dx = inv * (g - mean(g) - xhat * mean(g * xhat)), g = dy * gamma.
+
+    dgamma = sum(dy * xhat), dbeta = sum(dy); all reductions in f32, the
+    elementwise xhat recompute fuses into the reduction/output passes.
+    """
+    x, mean, inv, scale = res
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    dy32 = dy.astype(jnp.float32)
+    dgamma = jnp.sum(dy32 * xhat, axis=(0, 1, 2)).astype(scale.dtype)
+    dbeta = jnp.sum(dy32, axis=(0, 1, 2)).astype(scale.dtype)
+    g = dy32 * scale.astype(jnp.float32)
+    m1 = jnp.mean(g, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(g * xhat, axis=(1, 2), keepdims=True)
+    dx = (inv * (g - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dgamma, dbeta
+
+
+instance_norm.defvjp(_in_fwd, _in_bwd)
 
 
 def batch_norm_inference(

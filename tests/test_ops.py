@@ -113,6 +113,99 @@ def test_conv2d_reflect_matches_padded_conv():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_conv2d_frozen_smallcin_dgrad_matches_autodiff():
+    """Frozen-layer conv: fwd identical, input grad == autodiff, w/b grads zero."""
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_frozen_smallcin
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 12, 14, 3)).astype(np.float32))
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, 16)).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((2, 12, 14, 16)).astype(np.float32))
+
+    y_ref = conv2d(x, wt, b, stride=1, padding=1)
+    y_frz = conv2d_frozen_smallcin(x, wt, b, 1)
+    np.testing.assert_allclose(np.asarray(y_frz), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    gx_ref = jax.grad(lambda x_: jnp.sum(conv2d(x_, wt, b, stride=1, padding=1) * co))(x)
+    gx_frz, gw_frz = jax.grad(
+        lambda x_, w_: jnp.sum(conv2d_frozen_smallcin(x_, w_, b, 1) * co), argnums=(0, 1)
+    )(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_frz), np.asarray(gx_ref), rtol=1e-4, atol=1e-4)
+    assert float(np.abs(np.asarray(gw_frz)).max()) == 0.0  # frozen: zero cotangent
+
+
+def test_instance_norm_custom_vjp_matches_autodiff():
+    """Hand-derived IN backward == autodiff of the same forward."""
+    from artist_style_transfer_tpu.ops.norm import _in_forward, instance_norm
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((3, 8, 10, 6)).astype(np.float32)) * 4 + 1
+    gamma = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    beta = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((3, 8, 10, 6)).astype(np.float32))
+
+    def loss_custom(x, g, b):
+        return jnp.sum(instance_norm(x, g, b) * co)
+
+    def loss_auto(x, g, b):
+        return jnp.sum(_in_forward(x, g, b, 1e-5)[0] * co)
+
+    g_c = jax.grad(loss_custom, argnums=(0, 1, 2))(x, gamma, beta)
+    g_a = jax.grad(loss_auto, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, r in zip(g_c, g_a):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_reflect_dxfactored_matches_direct():
+    """dy/dx-factored tiny-C_out conv == direct reflect conv, values + grads."""
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect_dxfactored
+
+    rng = np.random.default_rng(11)
+    for (h, w, k, cin, cout) in [(24, 28, 9, 32, 3), (17, 23, 3, 8, 2), (9, 9, 9, 4, 3)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32)) * 0.1
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+
+        def loss_ref(x, w, b):
+            y = conv2d(reflect_pad_hw(x, k // 2), w, b, stride=1, padding=0)
+            return jnp.sum(jnp.square(y)), y
+
+        def loss_fac(x, w, b):
+            y = conv2d_reflect_dxfactored(x, w, b)
+            return jnp.sum(jnp.square(y)), y
+
+        (l_r, y_r), g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(x, wt, b)
+        (l_f, y_f), g_f = jax.value_and_grad(loss_fac, argnums=(0, 1, 2), has_aux=True)(x, wt, b)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), rtol=1e-4, atol=1e-4)
+        for a, r in zip(g_f, g_r):
+            r = np.asarray(r)
+            # f32 re-association noise; tolerance scaled to the grad magnitude.
+            np.testing.assert_allclose(
+                np.asarray(a), r, rtol=1e-3, atol=1e-4 * (np.abs(r).max() + 1.0)
+            )
+
+
+def test_transformer_fast_precision_matches_highest():
+    """Fast-mode dispatch (factored output conv) stays close to parity mode."""
+    from artist_style_transfer_tpu.models.transformer import (
+        init_transformer_params,
+        transformer_apply,
+    )
+    from artist_style_transfer_tpu.ops.precision import precision
+
+    rng = np.random.default_rng(12)
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32))
+    with precision("highest"):
+        y_hi = transformer_apply(params, x)
+    with precision("default"):
+        y_def = transformer_apply(params, x)
+    # CPU 'default' is still f32 math; only the factored dispatch differs.
+    scale = float(np.abs(np.asarray(y_hi)).max())
+    assert float(np.abs(np.asarray(y_def) - np.asarray(y_hi)).max()) < 2e-2 * scale
+
+
 def test_conv2d_reflect_gradients_match():
     from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect
 
