@@ -24,6 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--base_channels", type=int, default=64)
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--schedule", choices=("linear", "cosine"), default="linear")
+    t.add_argument("--ema_decay", type=float, default=0.999,
+                   help="EMA decay for returned weights; 0 disables")
     t.add_argument("--archive_dir", default="images/archive/")
     t.add_argument("--cache_dir", default="dicts/")
     t.add_argument("--out", default="models/diffusion/diff_model.npz")
@@ -38,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--guidance_scale", type=float, default=0.0)
     s.add_argument("--classifier_path", default="models/best-2.pth")
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--schedule", choices=("linear", "cosine"), default="linear")
     s.add_argument("--out", default="figs/diffusion_samples.png")
     return p
 
@@ -85,6 +89,8 @@ def main(argv=None):
             base_channels=args.base_channels,
             lr=args.lr,
             seed=args.seed,
+            schedule=args.schedule,
+            ema_decay=args.ema_decay or None,
         )
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         save_params_npz(args.out, params)
@@ -102,7 +108,7 @@ def main(argv=None):
         jax.random.key(0), num_classes=19, base_channels=args.base_channels
     )
     params = load_params_npz(args.model, template)
-    diffusion = GaussianDiffusion.make(args.num_timesteps)
+    diffusion = GaussianDiffusion.make(args.num_timesteps, schedule=args.schedule)
 
     clf_params = None
     if args.guidance_scale > 0:

@@ -40,8 +40,30 @@ class GaussianDiffusion:
         return self.betas.shape[0]
 
     @staticmethod
-    def make(num_timesteps: int = 1000, beta_start: float = 1e-4, beta_end: float = 0.02):
-        betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+    def make(
+        num_timesteps: int = 1000,
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+        schedule: str = "linear",
+    ):
+        """Build coefficient tables for T steps.
+
+        ``schedule``: 'linear' (DDPM, Ho et al. 2020) or 'cosine'
+        (improved-DDPM, Nichol & Dhariwal 2021: alpha-bar follows
+        cos^2((t/T + s)/(1 + s) * pi/2), s = 0.008, betas clipped at 0.999
+        — better sample quality at low step counts for small images, which
+        is exactly the painting-corpus regime).
+        """
+        if schedule == "cosine":
+            s = 0.008
+            steps = np.arange(num_timesteps + 1, dtype=np.float64)
+            f = np.cos((steps / num_timesteps + s) / (1.0 + s) * np.pi / 2.0) ** 2
+            acp_full = f / f[0]
+            betas = np.clip(1.0 - acp_full[1:] / acp_full[:-1], 0.0, 0.999)
+        elif schedule == "linear":
+            betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+        else:
+            raise ValueError(f"unknown schedule {schedule!r}")
         alphas = 1.0 - betas
         acp = np.cumprod(alphas)
         acp_prev = np.append(1.0, acp[:-1])

@@ -36,10 +36,18 @@ def train_diffusion(
     mesh=None,
     params: dict | None = None,
     wordy: bool = True,
+    schedule: str = "linear",
+    ema_decay: float | None = 0.999,
 ):
-    """Train `diff_model`; returns (params, diffusion, losses[epoch])."""
+    """Train `diff_model`; returns (params, diffusion, losses[epoch]).
+
+    ``ema_decay`` maintains an exponential moving average of the weights
+    inside the jitted epoch (standard for diffusion sample quality); the
+    returned params ARE the EMA weights (set ``ema_decay=None`` for raw).
+    ``schedule`` selects the beta schedule ('linear' or 'cosine').
+    """
     log = MetricLogger(None, stdout=wordy)
-    diffusion = GaussianDiffusion.make(num_timesteps)
+    diffusion = GaussianDiffusion.make(num_timesteps, schedule=schedule)
     if params is None:
         params = init_diff_model(
             jax.random.key(seed), num_classes=num_classes, base_channels=base_channels
@@ -66,9 +74,9 @@ def train_diffusion(
     grad_fn = jax.value_and_grad(loss_fn)
 
     @jax.jit
-    def epoch_fn(params, opt_state, perm, key):
+    def epoch_fn(params, ema, opt_state, perm, key):
         def body(carry, i):
-            params, opt_state, key = carry
+            params, ema, opt_state, key = carry
             key, kstep = jax.random.split(key)
             idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
             x0 = shard_batch(jnp.take(data, idx, axis=0), mesh)
@@ -76,19 +84,24 @@ def train_diffusion(
             loss, grads = grad_fn(params, x0, y, kstep)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state, key), loss
+            if ema_decay is not None:
+                ema = jax.tree.map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, params
+                )
+            return (params, ema, opt_state, key), loss
 
-        (params, opt_state, _), losses = jax.lax.scan(
-            body, (params, opt_state, key), jnp.arange(steps_per_epoch)
+        (params, ema, opt_state, _), losses = jax.lax.scan(
+            body, (params, ema, opt_state, key), jnp.arange(steps_per_epoch)
         )
-        return params, opt_state, jnp.mean(losses)
+        return params, ema, opt_state, jnp.mean(losses)
 
+    ema = params if ema_decay is not None else params  # same pytree either way
     losses = np.zeros((num_epochs,), np.float64)
     for epoch in range(num_epochs):
         t0 = time.time()
         perm = epoch_permutation(seed, epoch, n)
         key = jax.random.fold_in(jax.random.key(seed + 1), epoch)
-        params, opt_state, loss = epoch_fn(params, opt_state, perm, key)
+        params, ema, opt_state, loss = epoch_fn(params, ema, opt_state, perm, key)
         losses[epoch] = float(jax.device_get(loss))
         log.log("diffusion_epoch", epoch=epoch + 1, loss=losses[epoch], secs=round(time.time() - t0, 2))
-    return params, diffusion, losses
+    return (ema if ema_decay is not None else params), diffusion, losses

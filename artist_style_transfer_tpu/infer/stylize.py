@@ -22,7 +22,9 @@ from artist_style_transfer_tpu.models.transformer import transformer_apply
 def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
     """Stylize a batch: NHWC BGR [0,255] -> NHWC BGR (uint8 if clip).
 
-    Clipping to [0,255] matches the reference's save-time clip
+    Accepts uint8 input directly — the cast to float happens on-device, so
+    the host->device transfer is 1 byte/channel instead of 4 (serving-path
+    bandwidth). Clipping to [0,255] matches the reference's save-time clip
     (inference.py:116, train_cnn.py:112).
     """
     out = transformer_apply(params, images_bgr_255.astype(jnp.float32))
@@ -53,8 +55,11 @@ def stylize_batched(params, images: list[np.ndarray], batch_size: int = 8) -> li
     for _, idxs in groups.items():
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
-            batch = np.stack([images[i] for i in chunk]).astype(np.float32)
-            out = np.asarray(stylize(params, jnp.asarray(batch)))
+            stacked = np.stack([images[i] for i in chunk])
+            # keep uint8 inputs uint8 across the host->device link
+            if stacked.dtype != np.uint8:
+                stacked = stacked.astype(np.float32)
+            out = np.asarray(stylize(params, jnp.asarray(stacked)))
             for j, i in enumerate(chunk):
                 results[i] = out[j]
     return results  # type: ignore[return-value]

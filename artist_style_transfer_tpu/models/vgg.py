@@ -21,6 +21,7 @@ from artist_style_transfer_tpu.ops.conv import (
     conv2d,
     conv2d_frozen_smallcin,
     max_pool2d,
+    max_pool2d_2x2_fast,
 )
 from artist_style_transfer_tpu.ops.precision import get_precision
 
@@ -71,7 +72,10 @@ def vgg16_features(
     conv_i = 0
     for c in _VGG_CFG:
         if c == "M":
-            x = max_pool2d(x, 2, 2)
+            if get_precision() != "highest" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                x = max_pool2d_2x2_fast(x)
+            else:
+                x = max_pool2d(x, 2, 2)
             continue
         p = params[conv_i]
         if conv_i == 0 and get_precision() != "highest":

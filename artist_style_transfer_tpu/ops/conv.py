@@ -324,6 +324,40 @@ def max_pool2d(x: jax.Array, window: int = 2, stride: int = 2, padding: int = 0)
     )
 
 
+@jax.custom_vjp
+def max_pool2d_2x2_fast(x: jax.Array) -> jax.Array:
+    """2x2/2 max pool with an equality-mask backward (fast-precision path).
+
+    Forward is identical to ``max_pool2d(x, 2, 2, 0)``. The backward avoids
+    XLA's ``select-and-scatter`` (measured 2.8 ms at [96,224,224,64]) with a
+    fully-fusable elementwise compare: dx = (x == y_broadcast) * dy_broadcast.
+
+    Divergence from torch: ties receive the gradient at EVERY tied position
+    (torch routes to the first). In the VGG conv->relu->pool stacks this is
+    immaterial — all-zero windows (the common tie) have their gradient
+    killed by the preceding ReLU's mask, and positive bf16 ties are rare —
+    but parity mode must keep ``max_pool2d`` + autodiff. Requires even H, W.
+    """
+    return max_pool2d(x, 2, 2, 0)
+
+
+def _mp22_fwd(x):
+    y = max_pool2d(x, 2, 2, 0)
+    return y, (x, y)
+
+
+def _mp22_bwd(res, dy):
+    x, y = res
+    n, h, w, c = x.shape
+    xb = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    mask = (xb == y[:, :, None, :, None, :]).astype(dy.dtype)
+    dx = mask * dy[:, :, None, :, None, :]
+    return (dx.reshape(x.shape),)
+
+
+max_pool2d_2x2_fast.defvjp(_mp22_fwd, _mp22_bwd)
+
+
 def avg_pool_global(x: jax.Array) -> jax.Array:
     """Global average pool NHWC -> NC (AdaptiveAvgPool2d(1) + flatten)."""
     return jnp.mean(x, axis=(1, 2))

@@ -117,7 +117,7 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     return batch_size / dt
 
 
-def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) -> float:
+def measure_train_cycle_throughput(batch_size: int = 128, train_size: int = 224) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
     BASELINE.json's second target (>1k images/sec). One full jitted epoch
@@ -193,6 +193,64 @@ def measure_train_cycle_throughput(batch_size: int = 96, train_size: int = 224) 
     return batch_size / per_step
 
 
+EVAL_BASELINE_CACHE = os.path.join(
+    os.path.dirname(__file__), ".baseline_torch_cpu_eval.json"
+)
+
+
+def measure_torch_cpu_eval_baseline(size: int = 288, repeats: int = 2) -> float:
+    """f64 eager torch-CPU eval-loop throughput: stylize -> crop -> classify.
+
+    Mirrors the reference's image-by-image quantitative eval
+    (inference.py:104-166: batch 1, float64, full host round trip per
+    image) at the same image size bench's jitted eval uses, with the
+    tests/torch_ref oracles standing in for the missing pretrained nets.
+    """
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from torch_ref import TorchTransformerNet, make_torch_classifier
+
+    torch.manual_seed(0)
+    net = TorchTransformerNet().double().eval()
+    clf = make_torch_classifier(19).double().eval()
+    x = torch.from_numpy(
+        (np.random.default_rng(0).random((1, 3, size, size)) * 255)
+    ).double()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1).double()
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1).double()
+
+    def one():
+        with torch.no_grad():
+            out = net(x)
+            out = torch.clip(out, 0, 255.0)[:, [2, 1, 0]] / 255.0  # BGR->RGB [0,1]
+            lo = (size - 256) // 2
+            out = out[:, :, lo : lo + 256, lo : lo + 256]  # CenterCrop(256)
+            return torch.argmax(clf((out - mean) / std), dim=1)
+
+    one()  # warm
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        one()
+    return 1.0 / ((time.perf_counter() - t0) / repeats)
+
+
+def get_eval_baseline() -> float:
+    if os.path.exists(EVAL_BASELINE_CACHE):
+        with open(EVAL_BASELINE_CACHE) as f:
+            return json.load(f)["images_per_sec"]
+    ips = measure_torch_cpu_eval_baseline()
+    try:
+        with open(EVAL_BASELINE_CACHE, "w") as f:
+            json.dump(
+                {"images_per_sec": ips, "config": "torch-cpu f64 288->crop256 b1"}, f
+            )
+    except OSError:
+        pass
+    return ips
+
+
 def measure_eval_throughput(batch_size: int = 16, size: int = 288, iters: int = 8) -> float:
     """Quantitative-eval pipeline images/sec: stylize -> crop -> classify.
 
@@ -247,6 +305,7 @@ def main() -> None:
     enable_compilation_cache()
 
     if "--eval" in sys.argv:
+        eval_baseline = get_eval_baseline()
         value = measure_eval_throughput()
         print(
             json.dumps(
@@ -254,7 +313,9 @@ def main() -> None:
                     "metric": "classifier_eval_288_images_per_sec",
                     "value": round(value, 2),
                     "unit": "images/sec",
-                    "vs_baseline": 0.0,  # the reference records no eval throughput
+                    # vs the measured torch-CPU f64 image-by-image eval loop
+                    # (the reference's configuration, inference.py:104-166)
+                    "vs_baseline": round(value / eval_baseline, 2),
                 }
             )
         )

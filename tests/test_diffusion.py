@@ -70,6 +70,44 @@ def test_train_diffusion_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_cosine_schedule_properties():
+    """Cosine alpha-bar: monotone decreasing from ~1, betas in (0, 0.999]."""
+    d = GaussianDiffusion.make(num_timesteps=100, schedule="cosine")
+    acp = np.asarray(d.alphas_cumprod)
+    betas = np.asarray(d.betas)
+    assert acp[0] > 0.99
+    assert np.all(np.diff(acp) < 0)
+    assert betas.min() > 0 and betas.max() <= 0.999
+    # q_sample must still be variance-preserving at every t
+    assert np.allclose(
+        np.asarray(d.sqrt_alphas_cumprod) ** 2
+        + np.asarray(d.sqrt_one_minus_alphas_cumprod) ** 2,
+        1.0,
+        atol=1e-5,
+    )
+    with np.testing.assert_raises(ValueError):
+        GaussianDiffusion.make(num_timesteps=10, schedule="bogus")
+
+
+def test_train_diffusion_ema_weights():
+    """EMA-returned weights differ from raw and lag the last update."""
+    rng = np.random.default_rng(4)
+    imgs = (rng.random((4, HW, HW, 3)) * 255).astype(np.float32)
+    labels = np.arange(4) % 2
+    kwargs = dict(
+        num_classes=2, num_timesteps=T, num_epochs=2, batch_size=2,
+        base_channels=32, lr=3e-4, wordy=False, seed=7,
+    )
+    p_raw, _, l_raw = train_diffusion(imgs, labels, ema_decay=None, **kwargs)
+    p_ema, _, l_ema = train_diffusion(imgs, labels, ema_decay=0.9, **kwargs)
+    np.testing.assert_allclose(l_raw, l_ema, rtol=1e-6)  # same trajectory
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(p_raw), jax.tree.leaves(p_ema))
+    ]
+    assert max(diffs) > 0.0  # EMA is not the raw weights
+
+
 def test_diff_sample_shapes_and_guidance():
     from artist_style_transfer_tpu.models.resnet import init_classifier_params
 

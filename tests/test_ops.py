@@ -135,6 +135,24 @@ def test_conv2d_frozen_smallcin_dgrad_matches_autodiff():
     assert float(np.abs(np.asarray(gw_frz)).max()) == 0.0  # frozen: zero cotangent
 
 
+def test_max_pool2d_2x2_fast_matches_autodiff():
+    """Equality-mask pool backward == select-and-scatter on tie-free input."""
+    from artist_style_transfer_tpu.ops.conv import max_pool2d, max_pool2d_2x2_fast
+
+    rng = np.random.default_rng(15)
+    # distinct values -> no ties -> both backward rules must agree exactly
+    x = jnp.asarray(rng.permutation(8 * 6 * 2 * 5).reshape(2, 8, 6, 5).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((2, 4, 3, 5)).astype(np.float32))
+
+    y_ref = max_pool2d(x, 2, 2)
+    y_fast = max_pool2d_2x2_fast(x)
+    np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(y_ref))
+
+    g_ref = jax.grad(lambda x_: jnp.sum(max_pool2d(x_, 2, 2) * co))(x)
+    g_fast = jax.grad(lambda x_: jnp.sum(max_pool2d_2x2_fast(x_) * co))(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-6)
+
+
 def test_instance_norm_custom_vjp_matches_autodiff():
     """Hand-derived IN backward == autodiff of the same forward."""
     from artist_style_transfer_tpu.ops.norm import _in_forward, instance_norm
