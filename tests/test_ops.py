@@ -267,31 +267,6 @@ def test_fused_gram_mse_matches_xla_value_and_grad():
     np.testing.assert_allclose(np.asarray(grad_fused), np.asarray(grad_ref), rtol=1e-4, atol=1e-6)
 
 
-def test_fused_trunk_kernel_matches_xla():
-    """Fused 5-residual-block Pallas kernel (interpret) == the XLA trunk."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from artist_style_transfer_tpu.models.transformer import _conv_in, init_transformer_params
-    from artist_style_transfer_tpu.ops.pallas.resblock_kernel import trunk_pallas
-
-    params = init_transformer_params(jax.random.key(0))
-    rng = np.random.default_rng(13)
-    x = jnp.asarray(rng.standard_normal((2, 16, 24, 128)).astype(np.float32))
-
-    def trunk_xla(p, x):
-        for r in p["residual"]:
-            idt = x
-            h = jax.nn.relu(_conv_in(r["conv1"], x, 3, 1))
-            h = _conv_in(r["conv2"], h, 3, 1)
-            x = h + idt
-        return x
-
-    ref = trunk_xla(params, x)
-    with pltpu.force_tpu_interpret_mode():
-        got = trunk_pallas(params["residual"], x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
-
-
 def test_mse_pallas_matches_xla_value_and_grad():
     from jax.experimental.pallas import tpu as pltpu
 
