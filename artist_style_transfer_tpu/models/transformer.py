@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from artist_style_transfer_tpu.ops.conv import (
     conv2d,
     conv2d_reflect,
+    conv2d_reflect_cinfactored,
     conv2d_reflect_dxfactored,
     conv_transpose2d,
 )
@@ -111,8 +112,15 @@ def _deconv_in(p: dict, x: jax.Array, k: int, s: int, op: int) -> jax.Array:
 
 def transformer_apply(params: dict, x: jax.Array) -> jax.Array:
     """Forward pass: NHWC BGR [0,255] -> NHWC BGR unbounded (reference cnn.py:45-49)."""
-    for p, (k, s, _, _) in zip(params["encoder"], ENCODER_SPEC):
-        x = jax.nn.relu(_conv_in(p, x, k, s))
+    fast = get_precision() != "highest"
+    for li, (p, (k, s, _, _)) in enumerate(zip(params["encoder"], ENCODER_SPEC)):
+        if li == 0 and fast:
+            # Fast mode: C_in=3 stem via the widen-factored form (see
+            # conv2d_reflect_cinfactored; ~2x fwd+wgrad, fwd also faster).
+            h = conv2d_reflect_cinfactored(x, p["w"], p["b"])
+            x = jax.nn.relu(instance_norm(h, p["gamma"], p["beta"]))
+        else:
+            x = jax.nn.relu(_conv_in(p, x, k, s))
     for r in params["residual"]:
         identity = x
         h = jax.nn.relu(_conv_in(r["conv1"], x, 3, 1))

@@ -241,6 +241,54 @@ def conv2d_reflect_dxfactored(
     return conv2d(p, sel, b, stride=1, padding=0, precision=precision)
 
 
+@_functools.lru_cache(maxsize=None)
+def _ci_selector(k: int, cin: int, dtype_name: str):
+    """Fixed 1xK 'widen' kernel: selw[0, dx, ci, dx*cin + ci] = 1.
+
+    A pure data-movement conv that packs the K horizontal taps of each of
+    the cin input channels into K*cin output channels (a strip-wise im2col
+    along W).
+    """
+    import numpy as np
+
+    selw = np.zeros((1, k, cin, k * cin), np.float32)
+    for dx in range(k):
+        for ci in range(cin):
+            selw[0, dx, ci, dx * cin + ci] = 1.0
+    return np.ascontiguousarray(selw.astype(jnp.dtype(dtype_name)))
+
+
+def conv2d_reflect_cinfactored(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    b: jax.Array | None = None,
+    precision: str | None = None,
+) -> jax.Array:
+    """Reflect-pad + stride-1 KxK conv, reparameterized for tiny C_in.
+
+    The dual of :func:`conv2d_reflect_dxfactored`: first a fixed 1xK 0/1
+    'widen' conv packs (dx, ci) into K*C_in channels (pure data movement —
+    im2col along W), then a Kx1 conv with the real weights (plain reshape:
+    the (dx, ci) axes of HWIO weights are already contiguous) finishes the
+    contraction with a K*C_in(=27)-channel operand instead of C_in=3.
+
+    Why: the TransformerNet stem (9x9, 3->32, cnn.py:15) feeds its
+    weight-gradient matmul a 3-channel patch operand — measured 10.0 ms
+    fwd+wgrad at b96/224 direct vs 5.2 ms factored; forward-only also wins
+    (2.5 -> 1.5 ms train, 10.4 -> 9.2 ms at b128/512 stylize). Exact
+    reassociation — bf16 rounding only (~4e-3 rel); fast-precision dispatch.
+    """
+    k, cin, cout = w_hwio.shape[0], w_hwio.shape[2], w_hwio.shape[3]
+    pad = k // 2
+    from artist_style_transfer_tpu.ops.pad import reflect_pad_hw
+
+    selw = _ci_selector(k, cin, x.dtype.name)
+    hp = reflect_pad_hw(x, pad)
+    p = conv2d(hp, selw, None, stride=1, padding=0, precision=precision)
+    wp = w_hwio.reshape(k, 1, k * cin, cout)
+    return conv2d(p, wp, b, stride=1, padding=0, precision=precision)
+
+
 def _conv2d_small_cout_zeropad(
     x: jax.Array,
     w_hwio: jax.Array,

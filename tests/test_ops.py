@@ -113,6 +113,33 @@ def test_conv2d_reflect_matches_padded_conv():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_conv2d_reflect_cinfactored_matches_direct():
+    """Widen-factored tiny-C_in conv == direct reflect conv, values + wgrads."""
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect_cinfactored
+
+    rng = np.random.default_rng(16)
+    for (h, w, k, cin, cout) in [(24, 28, 9, 3, 32), (17, 23, 3, 2, 8), (9, 11, 9, 3, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32)) * 0.1
+        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+
+        y_ref = conv2d(reflect_pad_hw(x, k // 2), wt, b, stride=1, padding=0)
+        y_fac = conv2d_reflect_cinfactored(x, wt, b)
+        np.testing.assert_allclose(np.asarray(y_fac), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+        co = jnp.asarray(rng.standard_normal(y_ref.shape).astype(np.float32))
+        gw_ref, gb_ref = jax.grad(
+            lambda w_, b_: jnp.sum(conv2d(reflect_pad_hw(x, k // 2), w_, b_, stride=1, padding=0) * co),
+            argnums=(0, 1),
+        )(wt, b)
+        gw_fac, gb_fac = jax.grad(
+            lambda w_, b_: jnp.sum(conv2d_reflect_cinfactored(x, w_, b_) * co), argnums=(0, 1)
+        )(wt, b)
+        sc = float(np.abs(np.asarray(gw_ref)).max()) + 1.0
+        np.testing.assert_allclose(np.asarray(gw_fac), np.asarray(gw_ref), rtol=1e-3, atol=1e-4 * sc)
+        np.testing.assert_allclose(np.asarray(gb_fac), np.asarray(gb_ref), rtol=1e-3, atol=1e-4 * sc)
+
+
 def test_conv2d_frozen_smallcin_dgrad_matches_autodiff():
     """Frozen-layer conv: fwd identical, input grad == autodiff, w/b grads zero."""
     from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_frozen_smallcin
