@@ -27,6 +27,7 @@ from artist_style_transfer_tpu.ops.conv import (
     conv2d_reflect_cinfactored,
     conv2d_reflect_dxfactored,
     conv_transpose2d,
+    relu_fast,
 )
 from artist_style_transfer_tpu.ops.norm import instance_norm
 from artist_style_transfer_tpu.ops.pad import reflect_pad_hw  # noqa: F401 (bit-exact alternative)
@@ -113,21 +114,22 @@ def _deconv_in(p: dict, x: jax.Array, k: int, s: int, op: int) -> jax.Array:
 def transformer_apply(params: dict, x: jax.Array) -> jax.Array:
     """Forward pass: NHWC BGR [0,255] -> NHWC BGR unbounded (reference cnn.py:45-49)."""
     fast = get_precision() != "highest"
+    relu = relu_fast if fast else jax.nn.relu
     for li, (p, (k, s, _, _)) in enumerate(zip(params["encoder"], ENCODER_SPEC)):
         if li == 0 and fast:
             # Fast mode: C_in=3 stem via the widen-factored form (see
             # conv2d_reflect_cinfactored; ~2x fwd+wgrad, fwd also faster).
             h = conv2d_reflect_cinfactored(x, p["w"], p["b"])
-            x = jax.nn.relu(instance_norm(h, p["gamma"], p["beta"]))
+            x = relu(instance_norm(h, p["gamma"], p["beta"]))
         else:
-            x = jax.nn.relu(_conv_in(p, x, k, s))
+            x = relu(_conv_in(p, x, k, s))
     for r in params["residual"]:
         identity = x
-        h = jax.nn.relu(_conv_in(r["conv1"], x, 3, 1))
+        h = relu(_conv_in(r["conv1"], x, 3, 1))
         h = _conv_in(r["conv2"], h, 3, 1)
         x = h + identity
     for p, (k, s, op, _, _) in zip(params["decoder"], DECODER_SPEC):
-        x = jax.nn.relu(_deconv_in(p, x, k, s, op))
+        x = relu(_deconv_in(p, x, k, s, op))
     k = OUTPUT_CONV[0]
     if get_precision() != "highest":
         # Fast mode: dy/dx-factored output conv — same math, MXU-healthy

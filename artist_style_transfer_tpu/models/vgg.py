@@ -22,6 +22,7 @@ from artist_style_transfer_tpu.ops.conv import (
     conv2d_frozen_smallcin,
     max_pool2d,
     max_pool2d_2x2_fast,
+    relu_fast,
 )
 from artist_style_transfer_tpu.ops.precision import get_precision
 
@@ -69,22 +70,24 @@ def vgg16_features(
     relu4_3 otherwise (train_cnn.py:76-77).
     """
     taps: dict[str, jax.Array] = {}
+    fast = get_precision() != "highest"
+    relu = relu_fast if fast else jax.nn.relu
     conv_i = 0
     for c in _VGG_CFG:
         if c == "M":
-            if get_precision() != "highest" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            if fast and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 x = max_pool2d_2x2_fast(x)
             else:
                 x = max_pool2d(x, 2, 2)
             continue
         p = params[conv_i]
-        if conv_i == 0 and get_precision() != "highest":
+        if conv_i == 0 and fast:
             # VGG is always frozen here (train_cnn.py:60-61); in fast mode
             # route conv1_1 through the frozen-layer op so the gradient back
             # into the generated image avoids the C=3 MXU-lane pathology.
-            x = jax.nn.relu(conv2d_frozen_smallcin(x, p["w"], p["b"], 1))
+            x = relu(conv2d_frozen_smallcin(x, p["w"], p["b"], 1))
         else:
-            x = jax.nn.relu(conv2d(x, p["w"], p["b"], stride=1, padding=1))
+            x = relu(conv2d(x, p["w"], p["b"], stride=1, padding=1))
         name = _TAP_AFTER_CONV.get(conv_i)
         if name is not None:
             if just_content and name == "relu2_2":

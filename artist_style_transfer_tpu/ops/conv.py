@@ -373,6 +373,29 @@ def max_pool2d(x: jax.Array, window: int = 2, stride: int = 2, padding: int = 0)
 
 
 @jax.custom_vjp
+def relu_fast(x: jax.Array) -> jax.Array:
+    """ReLU with a 1-byte bool mask residual (fast-precision path).
+
+    Autodiff's relu saves the full activation (bf16: 2 bytes/elem) to
+    rebuild the gradient mask; at VGG's 224x224x64 layers that residual is
+    a 616 MB HBM round trip per relu at b128. Saving ``x > 0`` as bool
+    halves it. Gradient at exactly 0 is 0, matching torch.
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fast_fwd(x):
+    return jnp.maximum(x, 0), x > 0
+
+
+def _relu_fast_bwd(mask, dy):
+    return (jnp.where(mask, dy, jnp.zeros_like(dy)),)
+
+
+relu_fast.defvjp(_relu_fast_fwd, _relu_fast_bwd)
+
+
+@jax.custom_vjp
 def max_pool2d_2x2_fast(x: jax.Array) -> jax.Array:
     """2x2/2 max pool with an equality-mask backward (fast-precision path).
 

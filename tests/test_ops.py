@@ -162,6 +162,18 @@ def test_conv2d_frozen_smallcin_dgrad_matches_autodiff():
     assert float(np.abs(np.asarray(gw_frz)).max()) == 0.0  # frozen: zero cotangent
 
 
+def test_relu_fast_matches_autodiff():
+    """Bool-mask relu VJP == autodiff relu, including gradient 0 at x == 0."""
+    from artist_style_transfer_tpu.ops.conv import relu_fast
+
+    x = jnp.asarray(np.array([-2.0, -0.0, 0.0, 0.5, 3.0], np.float32))
+    co = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32))
+    np.testing.assert_array_equal(np.asarray(relu_fast(x)), np.asarray(jax.nn.relu(x)))
+    g_ref = jax.grad(lambda x_: jnp.sum(jax.nn.relu(x_) * co))(x)
+    g_fast = jax.grad(lambda x_: jnp.sum(relu_fast(x_) * co))(x)
+    np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
+
+
 def test_max_pool2d_2x2_fast_matches_autodiff():
     """Equality-mask pool backward == select-and-scatter on tie-free input."""
     from artist_style_transfer_tpu.ops.conv import max_pool2d, max_pool2d_2x2_fast
