@@ -91,6 +91,13 @@ def gram_matrix(features_nhwc: jax.Array, use_pallas: str | bool = "auto") -> ja
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         n, h, w, c = features_nhwc.shape
-        if c % 128 == 0 and (h * w) % 8 == 0:
-            return _gram_pallas_diff(features_nhwc)
+        if c % 128 == 0:
+            from artist_style_transfer_tpu.ops.pallas.gram_kernel import _pick_tile
+
+            try:
+                # Healthy-tile gate: same policy as style_loss_gram.
+                if _pick_tile(h * w, c, features_nhwc.dtype.itemsize) >= 256:
+                    return _gram_pallas_diff(features_nhwc)
+            except NotImplementedError:
+                pass
     return _gram_xla_diff(features_nhwc)

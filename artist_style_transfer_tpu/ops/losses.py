@@ -56,46 +56,6 @@ def np_prod(xs) -> int:
     return out
 
 
-@jax.custom_vjp
-def _gram_mse_fused(features: jax.Array, target: jax.Array) -> jax.Array:
-    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_residual_pallas
-
-    resid = gram_residual_pallas(features, target)
-    n, c = resid.shape[0], resid.shape[1]
-    return jnp.sum(jnp.square(resid)) / (n * c * c)
-
-
-def _gram_mse_fwd(features, target):
-    from artist_style_transfer_tpu.ops.pallas.gram_kernel import gram_residual_pallas
-
-    resid = gram_residual_pallas(features, target)
-    n, c = resid.shape[0], resid.shape[1]
-    loss = jnp.sum(jnp.square(resid)) / (n * c * c)
-    return loss, (features, target, resid)
-
-
-def _gram_mse_bwd(res, g):
-    """dL/dF = 4 g/(N C^2) * F @ resid * scale  (resid = G - T is symmetric)."""
-    features, target, resid = res
-    n, h, w, c = features.shape
-    scale = 1.0 / float(c * h * w)
-    coef = (4.0 * g / (n * c * c)) * scale
-    # 4-D contraction, features kept in their storage dtype: a reshape to
-    # (N, HW, C) + f32 cast costs two full-tensor HBM round trips (layout
-    # copy + widened copy); only the tiny (N, C, C) residual is cast.
-    df = jax.lax.dot_general(
-        features,
-        resid.astype(features.dtype),
-        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * coef
-    dt = jnp.zeros_like(target)  # targets are frozen constants
-    return df.astype(features.dtype), dt
-
-
-_gram_mse_fused.defvjp(_gram_mse_fwd, _gram_mse_bwd)
-
-
 def style_loss_gram(
     gen_features: dict[str, jax.Array],
     target_grams: dict[str, jax.Array],
@@ -104,9 +64,9 @@ def style_loss_gram(
     """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
 
     ``target_grams[name]`` is (C, C) or (N, C, C) — precomputed once,
-    HBM-resident. On TPU the per-tap Gram + target subtraction runs as one
-    fused Pallas kernel (the north-star fused style loss); the scalar
-    reduction and its VJP work on the tiny (N, C, C) residual.
+    HBM-resident. On TPU each tap's Gram runs as a tiled Pallas MXU
+    contraction (C a multiple of 128) or a reshape-free XLA dot_general;
+    the scalar MSE works on the tiny (N, C, C) result.
     """
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
@@ -115,16 +75,15 @@ def style_loss_gram(
         feats = gen_features[name]
         c = feats.shape[-1]
         hw = feats.shape[1] * feats.shape[2]
-        # The fused kernel needs healthy HW tiles: when HW is not a
-        # multiple of 512 the divisor fallback degrades to 16-64-row tiles
-        # (training resolutions have HW = 49*2^k) and XLA's batched matmul
-        # wins by ~2x (round-2 profiling) — dispatch Pallas only where its
-        # tiling is full-size.
-        if use_pallas and c % 128 == 0 and hw % 512 == 0:
-            loss = loss + _gram_mse_fused(feats, target_grams[name])
-        else:
-            g = gram_matrix(feats, use_pallas=use_pallas)
-            loss = loss + mse(g, target_grams[name])
+        # Per-tap: Pallas gram with the largest-divisor tile picker when the
+        # shape qualifies (gram_matrix dispatches), then a tiny (N, C, C)
+        # XLA MSE. A fully-fused gram+residual Pallas kernel was tried and
+        # REMOVED in round 2: measured slower in the full training graph
+        # than gram_matrix + XLA MSE (764 vs 802 img/s end to end) — the
+        # residual fusion saved only a (N,C,C)-sized pass but constrained
+        # scheduling around the big contraction.
+        g = gram_matrix(feats, use_pallas=use_pallas)
+        loss = loss + mse(g, target_grams[name])
     return loss
 
 

@@ -282,30 +282,6 @@ def test_conv2d_reflect_gradients_match():
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
 
 
-def test_fused_gram_mse_matches_xla_value_and_grad():
-    """Fused Pallas gram+MSE (interpret mode) == gram -> mse, incl. gradients."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from artist_style_transfer_tpu.ops.losses import _gram_mse_fused, mse
-
-    rng = np.random.default_rng(11)
-    f = jnp.asarray(rng.standard_normal((2, 8, 8, 128)).astype(np.float32))
-    t = jnp.asarray(rng.standard_normal((128, 128)).astype(np.float32))
-    t = (t + t.T) / 2  # targets are grams: symmetric
-
-    def ref_loss(f):
-        return mse(gram_matrix_xla(f), t)
-
-    with pltpu.force_tpu_interpret_mode():
-        loss_fused = _gram_mse_fused(f, t)
-        grad_fused = jax.grad(lambda ff: _gram_mse_fused(ff, t))(f)
-    loss_ref = ref_loss(f)
-    grad_ref = jax.grad(ref_loss)(f)
-
-    np.testing.assert_allclose(float(loss_fused), float(loss_ref), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(grad_fused), np.asarray(grad_ref), rtol=1e-4, atol=1e-6)
-
-
 def test_mse_pallas_matches_xla_value_and_grad():
     from jax.experimental.pallas import tpu as pltpu
 
