@@ -35,17 +35,14 @@ def content_loss(
 ) -> jax.Array:
     """Perceptual content loss: MSE over relu2_2 feature maps.
 
-    On TPU the reduction streams both tensors through a fused Pallas kernel
-    (one read each, SMEM accumulator); elsewhere plain XLA.
+    Plain XLA on every backend: a streaming Pallas MSE kernel was tried and
+    REMOVED in round 2 — end-to-end it cost ~4 ms/step (800 -> 825 img/s
+    without it) because the pallas_call forced materialization of the
+    gathered content features and a layout copy, where XLA fuses the
+    corpus gather straight into the reduction. ``use_pallas`` is accepted
+    for API stability and ignored.
     """
-    if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and gen_relu2_2.shape == content_relu2_2.shape:
-        rows = int(np_prod(gen_relu2_2.shape[:-1]))
-        if rows % 8 == 0 and gen_relu2_2.shape[-1] % 128 == 0:
-            from artist_style_transfer_tpu.ops.pallas.mse_kernel import mse_pallas
-
-            return mse_pallas(gen_relu2_2, content_relu2_2)
+    del use_pallas
     return mse(gen_relu2_2, content_relu2_2)
 
 

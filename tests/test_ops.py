@@ -282,25 +282,6 @@ def test_conv2d_reflect_gradients_match():
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-5)
 
 
-def test_mse_pallas_matches_xla_value_and_grad():
-    from jax.experimental.pallas import tpu as pltpu
-
-    from artist_style_transfer_tpu.ops.losses import mse
-    from artist_style_transfer_tpu.ops.pallas.mse_kernel import mse_pallas
-
-    rng = np.random.default_rng(12)
-    a = jnp.asarray(rng.standard_normal((2, 16, 16, 128)).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal((2, 16, 16, 128)).astype(np.float32))
-
-    with pltpu.force_tpu_interpret_mode():
-        v = mse_pallas(a, b)
-        ga, gb = jax.grad(lambda x, y: mse_pallas(x, y), argnums=(0, 1))(a, b)
-    np.testing.assert_allclose(float(v), float(mse(a, b)), rtol=1e-5)
-    ga_ref, gb_ref = jax.grad(lambda x, y: mse(x, y), argnums=(0, 1))(a, b)
-    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), rtol=1e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-5, atol=1e-7)
-
-
 def test_resize_bilinear_matches_cv2():
     import cv2
 
