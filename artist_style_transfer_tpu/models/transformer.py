@@ -27,7 +27,6 @@ from artist_style_transfer_tpu.ops.conv import (
     conv2d_reflect_cinfactored,
     conv2d_reflect_dxfactored,
     conv_transpose2d,
-    conv_transpose2d_subpixel,
     relu_fast,
 )
 from artist_style_transfer_tpu.ops.norm import instance_norm
@@ -107,16 +106,8 @@ def _conv_in(p: dict, x: jax.Array, k: int, s: int) -> jax.Array:
 
 
 def _deconv_in(p: dict, x: jax.Array, k: int, s: int, op: int) -> jax.Array:
-    """Transpose conv -> instance norm (reference DeconvLayer, cnn.py:102-124).
-
-    Fast mode maps the k3/s2 upsampling deconvs to the subpixel (packed
-    2x2 conv + pixel shuffle) form — same math, no zero-dilated input on
-    the MXU (see :func:`conv_transpose2d_subpixel`).
-    """
-    if k == 3 and s == 2 and op == 1 and get_precision() != "highest":
-        x = conv_transpose2d_subpixel(x, p["w"], p["b"])
-    else:
-        x = conv_transpose2d(x, p["w"], p["b"], stride=s, padding=k // 2, output_padding=op)
+    """Transpose conv -> instance norm (reference DeconvLayer, cnn.py:102-124)."""
+    x = conv_transpose2d(x, p["w"], p["b"], stride=s, padding=k // 2, output_padding=op)
     return instance_norm(x, p["gamma"], p["beta"])
 
 

@@ -96,58 +96,6 @@ def conv_transpose2d(
     return y.astype(x.dtype)
 
 
-def conv_transpose2d_subpixel(
-    x: jax.Array,
-    w_hwio_flipped: jax.Array,
-    b: jax.Array | None = None,
-    precision: str | None = None,
-) -> jax.Array:
-    """ConvTranspose2d(k=3, s=2, p=1, op=1) as a dense 2x2 conv + pixel shuffle.
-
-    Mathematically identical to :func:`conv_transpose2d` at this geometry
-    (the TransformerNet's upsampling deconvs, reference cnn.py:108): output
-    parity class (py, px) touches a fixed subset of the 3x3 taps —
-    even rows use only ky=1, odd rows ky∈{0,2} (and likewise for columns) —
-    so all four classes pack into ONE stride-1 2x2 conv producing 4*C_out
-    channels, interleaved back by a depth-to-space reshape.
-
-    Why: the ``lhs_dilation`` formulation makes the MXU contract 3x3 windows
-    over an input that is 75% inserted zeros; the packed form has 2x2
-    windows with 4 zero tap-slots of 16 (2.25x fewer MACs) and a 4*C_out
-    channel dim that keeps output lanes busy. Zero tap-slots contribute
-    exact +0.0 terms, so the result differs from the dilated form only in
-    accumulation order (bf16 rounding) — dispatch under fast precision.
-    """
-    k, ci, co = w_hwio_flipped.shape[0], w_hwio_flipped.shape[2], w_hwio_flipped.shape[3]
-    assert k == 3, "subpixel form is specific to k=3, s=2, p=1, op=1"
-    wf = w_hwio_flipped
-    # tap[p, r]: which kernel index feeds parity p from window row r (-1: none).
-    # Derivation (o = output index, i = window anchor): even o=2i takes
-    # x[i]*wf[1]; odd o=2i+1 takes x[i]*wf[0] + x[i+1]*wf[2].
-    tap = jnp.array([[1, -1], [0, 2]])
-    valid = tap >= 0
-    # (py, r, kw, ci, co): select H-axis taps.
-    wsel_h = jnp.where(
-        valid[:, :, None, None, None], wf[jnp.clip(tap, 0)], 0.0
-    )
-    # (py, r, px, c, ci, co): select W-axis taps from the kw axis.
-    wsel_hw = jnp.where(
-        valid[None, None, :, :, None, None], wsel_h[:, :, jnp.clip(tap, 0)], 0.0
-    )
-    wp = jnp.transpose(wsel_hw, (1, 3, 4, 0, 2, 5)).reshape(2, 2, ci, 4 * co)
-    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    y = conv2d(xp, wp.astype(x.dtype), None, stride=1, padding=0, precision=precision)
-    n, h, w = x.shape[0], x.shape[1], x.shape[2]
-    y = (
-        y.reshape(n, h, w, 2, 2, co)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(n, 2 * h, 2 * w, co)
-    )
-    if b is not None:
-        y = y + b
-    return y.astype(x.dtype)
-
-
 def conv2d_reflect(
     x: jax.Array,
     w_hwio: jax.Array,

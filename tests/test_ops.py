@@ -214,36 +214,6 @@ def test_instance_norm_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4)
 
 
-def test_conv_transpose2d_subpixel_matches_dilated():
-    """Subpixel (packed 2x2 conv + pixel shuffle) deconv == lhs-dilated deconv."""
-    from artist_style_transfer_tpu.ops.conv import (
-        conv_transpose2d,
-        conv_transpose2d_subpixel,
-    )
-
-    rng = np.random.default_rng(21)
-    for (h, w, cin, cout) in [(4, 6, 5, 7), (14, 14, 128, 64), (7, 9, 3, 2)]:
-        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
-        wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32)) * 0.1
-        b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
-
-        def loss_ref(x, w, b):
-            y = conv_transpose2d(x, w, b, stride=2, padding=1, output_padding=1)
-            return jnp.sum(jnp.square(y)), y
-
-        def loss_sub(x, w, b):
-            y = conv_transpose2d_subpixel(x, w, b)
-            return jnp.sum(jnp.square(y)), y
-
-        (l_r, y_r), g_r = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(x, wt, b)
-        (l_s, y_s), g_s = jax.value_and_grad(loss_sub, argnums=(0, 1, 2), has_aux=True)(x, wt, b)
-        assert y_s.shape == (2, 2 * h, 2 * w, cout)
-        np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_r), rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(float(l_s), float(l_r), rtol=1e-5)
-        for a, c in zip(g_s, g_r):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4)
-
-
 def test_conv2d_reflect_dxfactored_matches_direct():
     """dy/dx-factored tiny-C_out conv == direct reflect conv, values + grads."""
     from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_reflect_dxfactored
