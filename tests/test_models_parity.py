@@ -48,6 +48,24 @@ def test_transformer_output_shape_matches_input():
         assert transformer_apply(params, x).shape == (1, h, w, 3)
 
 
+def test_transformer_fast_mode_matches_parity_mode():
+    """The fast-precision dispatch set (factored stem/output convs,
+    relu_fast, one-pass IN stats) computes the same function as parity
+    mode — reassociation-level differences only (here in f32; the measured
+    bf16 gap on chip is the PSNR evidence in BENCH_NOTES.md)."""
+    from artist_style_transfer_tpu.ops.precision import precision
+
+    params = init_transformer_params(jax.random.key(3))
+    x = jnp.asarray(
+        np.random.default_rng(5).random((2, 32, 40, 3), np.float32) * 255
+    )
+    with precision("highest"):
+        y_ref = transformer_apply(params, x)
+    with precision("default"):
+        y_fast = transformer_apply(params, x)
+    assert psnr(y_fast, y_ref) > 60.0
+
+
 def test_transformer_parity_vs_torch():
     """Full-network forward parity with an imported torch checkpoint (PSNR check)."""
     import torch
