@@ -61,12 +61,20 @@ def style_loss_gram(
     """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
 
     ``target_grams[name]`` is (C, C) or (N, C, C) — precomputed once,
-    HBM-resident. On TPU each tap's Gram runs as a tiled Pallas MXU
-    contraction (C a multiple of 128) or a reshape-free XLA dot_general;
-    the scalar MSE works on the tiny (N, C, C) result.
+    HBM-resident. Each tap's Gram is a reshape-free XLA dot_general; the
+    scalar MSE works on the tiny (N, C, C) result.
+
+    ``use_pallas='auto'`` resolves to the XLA path HERE (unlike standalone
+    :func:`gram_matrix`, where 'auto' picks the Pallas kernel on TPU):
+    inside the full training graph the pallas_call's input layout
+    constraint forces copies of the conv-native tap layouts, measured
+    1.2 ms/step slower than letting XLA contract in place (77.9 vs 76.7
+    ms for the loss fwd+dgrad at b128/224 — the same in-context failure
+    mode as the removed MSE and gram+residual kernels). Pass
+    ``use_pallas=True`` to force the kernel.
     """
     if use_pallas == "auto":
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     loss = jnp.float32(0.0)
     for name in VGG_LAYER_NAMES:
         feats = gen_features[name]
