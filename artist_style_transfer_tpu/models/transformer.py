@@ -27,9 +27,8 @@ from artist_style_transfer_tpu.ops.conv import (
     conv2d_reflect_cinfactored,
     conv2d_reflect_dxfactored,
     conv_transpose2d,
-    relu_fast,
 )
-from artist_style_transfer_tpu.ops.norm import instance_norm
+from artist_style_transfer_tpu.ops.norm import instance_norm, instance_norm_act
 from artist_style_transfer_tpu.ops.pad import reflect_pad_hw  # noqa: F401 (bit-exact alternative)
 from artist_style_transfer_tpu.ops.precision import get_precision
 
@@ -95,41 +94,51 @@ def init_transformer_params(key: jax.Array) -> dict:
     return params
 
 
-def _conv_in(p: dict, x: jax.Array, k: int, s: int) -> jax.Array:
+def _in_maybe_act(p: dict, x: jax.Array, relu: bool, fast: bool) -> jax.Array:
+    """IN (+ReLU) after a conv: parity mode composes the exact ops; fast mode
+    uses :func:`instance_norm_act` (same math, one fewer residual array)."""
+    if fast:
+        return instance_norm_act(x, p["gamma"], p["beta"], relu)
+    y = instance_norm(x, p["gamma"], p["beta"])
+    return jax.nn.relu(y) if relu else y
+
+
+def _conv_in(p: dict, x: jax.Array, k: int, s: int, relu: bool = False,
+             fast: bool = False) -> jax.Array:
     """Reflect-pad conv -> instance norm (reference ConvLayer, cnn.py:52-79).
 
     Uses :func:`conv2d_reflect` — bit-identical to pad-then-conv but without
     materializing the padded activation (a full HBM round trip per layer).
     """
     x = conv2d_reflect(x, p["w"], p["b"], stride=s)
-    return instance_norm(x, p["gamma"], p["beta"])
+    return _in_maybe_act(p, x, relu, fast)
 
 
-def _deconv_in(p: dict, x: jax.Array, k: int, s: int, op: int) -> jax.Array:
+def _deconv_in(p: dict, x: jax.Array, k: int, s: int, op: int, relu: bool = False,
+               fast: bool = False) -> jax.Array:
     """Transpose conv -> instance norm (reference DeconvLayer, cnn.py:102-124)."""
     x = conv_transpose2d(x, p["w"], p["b"], stride=s, padding=k // 2, output_padding=op)
-    return instance_norm(x, p["gamma"], p["beta"])
+    return _in_maybe_act(p, x, relu, fast)
 
 
 def transformer_apply(params: dict, x: jax.Array) -> jax.Array:
     """Forward pass: NHWC BGR [0,255] -> NHWC BGR unbounded (reference cnn.py:45-49)."""
     fast = get_precision() != "highest"
-    relu = relu_fast if fast else jax.nn.relu
     for li, (p, (k, s, _, _)) in enumerate(zip(params["encoder"], ENCODER_SPEC)):
         if li == 0 and fast:
             # Fast mode: C_in=3 stem via the widen-factored form (see
             # conv2d_reflect_cinfactored; ~2x fwd+wgrad, fwd also faster).
             h = conv2d_reflect_cinfactored(x, p["w"], p["b"])
-            x = relu(instance_norm(h, p["gamma"], p["beta"]))
+            x = _in_maybe_act(p, h, relu=True, fast=True)
         else:
-            x = relu(_conv_in(p, x, k, s))
+            x = _conv_in(p, x, k, s, relu=True, fast=fast)
     for r in params["residual"]:
         identity = x
-        h = relu(_conv_in(r["conv1"], x, 3, 1))
-        h = _conv_in(r["conv2"], h, 3, 1)
+        h = _conv_in(r["conv1"], x, 3, 1, relu=True, fast=fast)
+        h = _conv_in(r["conv2"], h, 3, 1, relu=False, fast=fast)
         x = h + identity
     for p, (k, s, op, _, _) in zip(params["decoder"], DECODER_SPEC):
-        x = relu(_deconv_in(p, x, k, s, op))
+        x = _deconv_in(p, x, k, s, op, relu=True, fast=fast)
     k = OUTPUT_CONV[0]
     if get_precision() != "highest":
         # Fast mode: dy/dx-factored output conv — same math, MXU-healthy

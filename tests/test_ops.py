@@ -68,6 +68,34 @@ def test_instance_norm_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
 
 
+def test_instance_norm_act_matches_composition():
+    """Fused IN(+ReLU) custom VJP == instance_norm -> relu composition,
+    values and all gradients (mask recomputed from residuals in bwd)."""
+    from artist_style_transfer_tpu.ops.norm import instance_norm_act
+    from artist_style_transfer_tpu.ops.precision import precision
+
+    rng = np.random.default_rng(3)
+    with precision("default"):
+        for (h, w, c), relu in [((8, 8, 32), True), ((6, 10, 128), True), ((8, 8, 64), False)]:
+            x = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+            gamma = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+            beta = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+            co = jnp.asarray(rng.standard_normal((2, h, w, c)).astype(np.float32))
+
+            def ref(x, g, b):
+                y = instance_norm(x, g, b)
+                return jnp.sum((jnp.maximum(y, 0) if relu else y) * co)
+
+            def fused(x, g, b):
+                return jnp.sum(instance_norm_act(x, g, b, relu) * co)
+
+            v0, g0 = jax.value_and_grad(ref, argnums=(0, 1, 2))(x, gamma, beta)
+            v1, g1 = jax.value_and_grad(fused, argnums=(0, 1, 2))(x, gamma, beta)
+            np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+            for a, b in zip(g1, g0):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_gram_matches_reference_formula():
     """gram(f) = f f^T / (C*H*W) computed on NCHW, as in train_cnn.py:103-107."""
     rng = np.random.default_rng(1)
