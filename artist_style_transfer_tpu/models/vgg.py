@@ -23,6 +23,7 @@ from artist_style_transfer_tpu.ops.conv import (
     max_pool2d,
     max_pool2d_2x2_fast,
     relu_fast,
+    relu_max_pool2x2_fast,
 )
 from artist_style_transfer_tpu.ops.precision import get_precision
 
@@ -73,25 +74,43 @@ def vgg16_features(
     fast = get_precision() != "highest"
     relu = relu_fast if fast else jax.nn.relu
     conv_i = 0
-    for c in _VGG_CFG:
+    i = 0
+    while i < len(_VGG_CFG):
+        c = _VGG_CFG[i]
         if c == "M":
             if fast and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
                 x = max_pool2d_2x2_fast(x)
             else:
                 x = max_pool2d(x, 2, 2)
+            i += 1
             continue
         p = params[conv_i]
+        name = _TAP_AFTER_CONV.get(conv_i)
         if conv_i == 0 and fast:
             # VGG is always frozen here (train_cnn.py:60-61); in fast mode
             # route conv1_1 through the frozen-layer op so the gradient back
             # into the generated image avoids the C=3 MXU-lane pathology.
-            x = relu(conv2d_frozen_smallcin(x, p["w"], p["b"], 1))
+            pre = conv2d_frozen_smallcin(x, p["w"], p["b"], 1)
         else:
-            x = relu(conv2d(x, p["w"], p["b"], stride=1, padding=1))
-        name = _TAP_AFTER_CONV.get(conv_i)
+            pre = conv2d(x, p["w"], p["b"], stride=1, padding=1)
+        if (
+            fast
+            and i + 1 < len(_VGG_CFG)
+            and _VGG_CFG[i + 1] == "M"
+            and pre.shape[1] % 2 == 0
+            and pre.shape[2] % 2 == 0
+            and not (just_content and name == "relu2_2")
+        ):
+            # conv -> relu -> tap -> pool: fused relu+pool with a uint8
+            # argmax-code backward (no full-res activation re-read).
+            tap, x = relu_max_pool2x2_fast(pre)
+            i += 2  # the pool is consumed by the fused op
+        else:
+            tap = x = relu(pre)
+            i += 1
         if name is not None:
             if just_content and name == "relu2_2":
-                return x
-            taps[name] = x
+                return tap
+            taps[name] = tap
         conv_i += 1
     return taps

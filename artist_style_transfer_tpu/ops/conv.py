@@ -429,6 +429,73 @@ def _mp22_bwd(res, dy):
 max_pool2d_2x2_fast.defvjp(_mp22_fwd, _mp22_bwd)
 
 
+@jax.custom_vjp
+def relu_max_pool2x2_fast(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Fused ``(relu(x), maxpool2x2(relu(x)))`` with a uint8-code backward.
+
+    Built for VGG's tapped pool layers (conv -> relu -> *tap for the gram
+    loss* -> pool, reference train_cnn.py:70-78): both the tap and the
+    pooled activation receive cotangents, and the backward reconstructs
+    the pre-activation gradient from
+
+    - the relu's 1-byte bool mask (full resolution, needed for the tap's
+      own cotangent), and
+    - a quarter-resolution uint8 *code* per window: the argmax position
+      0..3 (first occurrence, torch semantics) or 4 when the window max
+      is <= 0 (relu kills the pooled gradient entirely).
+
+    Compared with ``relu_fast`` + ``max_pool2d_2x2_fast``, the backward no
+    longer re-reads the full-resolution activation and the pooled output
+    to rebuild the routing mask (2.25 bytes/elem of HBM traffic saved at
+    VGG's 224^2x64 / 112^2x128 / 56^2x256 pool layers). Divergence from
+    the equality-mask pool: positive ties route to the FIRST max (torch's
+    behavior) instead of all tied positions. Requires even H, W.
+    """
+    y = jnp.maximum(x, 0)
+    return y, max_pool2d(y, 2, 2, 0)
+
+
+def _window_argmax_code(y: jax.Array):
+    """(pooled max, uint8 code) over 2x2/2 windows; code 4 = max <= 0."""
+    n, h, w, c = y.shape
+    yb = y.reshape(n, h // 2, 2, w // 2, 2, c)
+    y00, y01 = yb[:, :, 0, :, 0, :], yb[:, :, 0, :, 1, :]
+    y10, y11 = yb[:, :, 1, :, 0, :], yb[:, :, 1, :, 1, :]
+    m0 = jnp.maximum(y00, y01)
+    i0 = (y01 > y00).astype(jnp.uint8)  # 0 or 1; ties keep the first
+    m1 = jnp.maximum(y10, y11)
+    i1 = jnp.where(y11 > y10, jnp.uint8(3), jnp.uint8(2))
+    pooled = jnp.maximum(m0, m1)
+    code = jnp.where(m1 > m0, i1, i0)
+    code = jnp.where(pooled > 0, code, jnp.uint8(4))
+    return pooled, code
+
+
+def _relu_mp22_fwd(x):
+    y = jnp.maximum(x, 0)
+    pooled, code = _window_argmax_code(y)
+    return (y, pooled), (x > 0, code)
+
+
+def _relu_mp22_bwd(res, cts):
+    mask, code = res
+    d_tap, d_pool = cts
+    n, hp, wp, c = d_pool.shape
+    # Scatter d_pool to each window's argmax position via 4 quarter-res
+    # compares — no gather, fully fusable elementwise.
+    pos = jnp.arange(4, dtype=jnp.uint8).reshape(1, 1, 2, 1, 2, 1)
+    contrib = jnp.where(
+        code[:, :, None, :, None, :] == pos,
+        d_pool[:, :, None, :, None, :],
+        jnp.zeros((), d_pool.dtype),
+    ).reshape(n, hp * 2, wp * 2, c)
+    dx = jnp.where(mask, d_tap + contrib, jnp.zeros((), d_tap.dtype))
+    return (dx,)
+
+
+relu_max_pool2x2_fast.defvjp(_relu_mp22_fwd, _relu_mp22_bwd)
+
+
 def avg_pool_global(x: jax.Array) -> jax.Array:
     """Global average pool NHWC -> NC (AdaptiveAvgPool2d(1) + flatten)."""
     return jnp.mean(x, axis=(1, 2))

@@ -220,6 +220,47 @@ def test_max_pool2d_2x2_fast_matches_autodiff():
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-6)
 
 
+def test_relu_max_pool2x2_fast_matches_composition():
+    """Fused relu+pool (uint8 argmax-code backward) == relu -> maxpool
+    composition for values and gradients, with cotangents on BOTH outputs
+    (the tap and the pooled map), on tie-free input."""
+    from artist_style_transfer_tpu.ops.conv import max_pool2d, relu_max_pool2x2_fast
+
+    rng = np.random.default_rng(16)
+    # distinct magnitudes, mixed signs -> exercises the relu mask and the
+    # max<=0 (code 4) windows without relying on tie behavior
+    base = rng.permutation(2 * 8 * 6 * 5).reshape(2, 8, 6, 5).astype(np.float32) + 1
+    signs = rng.choice([-1.0, 1.0], size=base.shape)
+    x = jnp.asarray(base * signs)
+    co_tap = jnp.asarray(rng.standard_normal((2, 8, 6, 5)).astype(np.float32))
+    co_pool = jnp.asarray(rng.standard_normal((2, 4, 3, 5)).astype(np.float32))
+
+    def ref(x_):
+        y = jax.nn.relu(x_)
+        return jnp.sum(y * co_tap) + jnp.sum(max_pool2d(y, 2, 2) * co_pool)
+
+    def fused(x_):
+        tap, pooled = relu_max_pool2x2_fast(x_)
+        return jnp.sum(tap * co_tap) + jnp.sum(pooled * co_pool)
+
+    v_ref, g_ref = jax.value_and_grad(ref)(x)
+    v_fast, g_fast = jax.value_and_grad(fused)(x)
+    np.testing.assert_allclose(float(v_fast), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-6)
+
+
+def test_relu_max_pool2x2_fast_tie_routes_first():
+    """Positive ties route the pooled gradient to the FIRST max position
+    (torch maxpool semantics), unlike the equality-mask pool."""
+    from artist_style_transfer_tpu.ops.conv import relu_max_pool2x2_fast
+
+    x = jnp.asarray(np.array([[5.0, 5.0], [5.0, 5.0]], np.float32)).reshape(1, 2, 2, 1)
+    g = jax.grad(lambda x_: jnp.sum(relu_max_pool2x2_fast(x_)[1]))(x)
+    np.testing.assert_array_equal(
+        np.asarray(g).reshape(2, 2), np.array([[1.0, 0.0], [0.0, 0.0]], np.float32)
+    )
+
+
 def test_instance_norm_custom_vjp_matches_autodiff():
     """Hand-derived IN backward == autodiff of the same forward."""
     from artist_style_transfer_tpu.ops.norm import _in_forward, instance_norm
