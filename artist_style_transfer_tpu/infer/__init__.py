@@ -11,4 +11,7 @@ from artist_style_transfer_tpu.infer.stylize import (  # noqa: F401
     stylize_batched,
 )
 from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier  # noqa: F401
-from artist_style_transfer_tpu.infer.serve import StylizeServer  # noqa: F401
+from artist_style_transfer_tpu.infer.serve import (  # noqa: F401
+    ModelRegistry,
+    StylizeServer,
+)

@@ -23,6 +23,7 @@ previous compilations.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 import time
 from concurrent.futures import Future
@@ -33,32 +34,143 @@ import numpy as np
 from artist_style_transfer_tpu.infer.stylize import stylize
 
 
+class ModelRegistry:
+    """Thread-safe name -> transformer-params registry with hot-reload.
+
+    Multi-tenant serving keeps every artist/method model resident (a
+    trained net is ~3.4 MB of params — hundreds fit in HBM) and swaps a
+    model's weights atomically when its checkpoint file changes on disk,
+    without restarting the server or dropping in-flight requests: a batch
+    dispatched before the swap finishes with the old params; the next
+    batch picks up the new ones. Compiled executables are keyed by shape,
+    not by weights, so a reload never triggers a recompile.
+
+    Files: ``.pth`` (reference checkpoint layout, train_cnn.py:383-390,
+    via ``utils.torch_import``) or ``.npz`` (this framework's export).
+    """
+
+    def __init__(self, auto_reload: bool = False):
+        self._lock = threading.Lock()
+        # name -> (params, path | None, mtime | None)
+        self._models: dict[str, tuple[object, str | None, float | None]] = {}
+        self._auto = bool(auto_reload)
+
+    @staticmethod
+    def _load(path: str):
+        from artist_style_transfer_tpu.utils.torch_import import (
+            load_torch_state_dict,
+            transformer_params_from_torch,
+        )
+
+        if path.endswith(".npz"):
+            import jax
+
+            from artist_style_transfer_tpu.models.transformer import (
+                init_transformer_params,
+            )
+            from artist_style_transfer_tpu.train.checkpoint import load_params_npz
+
+            return load_params_npz(path, init_transformer_params(jax.random.key(0)))
+        return transformer_params_from_torch(load_torch_state_dict(path))
+
+    def register(self, name: str, params=None, *, path: str | None = None) -> None:
+        """Add (or replace) a model, from in-memory params or a checkpoint file."""
+        if (params is None) == (path is None):
+            raise ValueError("pass exactly one of params= or path=")
+        mtime = None
+        if path is not None:
+            params = self._load(path)
+            mtime = os.stat(path).st_mtime
+        with self._lock:
+            self._models[name] = (params, path, mtime)
+
+    def unregister(self, name: str) -> None:
+        with self._lock:
+            self._models.pop(name, None)
+
+    def names(self) -> list[str]:
+        with self._lock:
+            return sorted(self._models)
+
+    def __contains__(self, name: str) -> bool:
+        with self._lock:
+            return name in self._models
+
+    def get(self, name: str):
+        """Current params for ``name`` (auto-reloading if enabled)."""
+        if self._auto:
+            self.reload(name)
+        with self._lock:
+            if name not in self._models:
+                raise KeyError(f"model {name!r} is not registered")
+            return self._models[name][0]
+
+    def reload(self, name: str, force: bool = False) -> bool:
+        """Re-read the model's file if its mtime changed (or ``force``).
+
+        Returns True when new weights were swapped in. No-op for models
+        registered from in-memory params.
+        """
+        with self._lock:
+            entry = self._models.get(name)
+        if entry is None or entry[1] is None:
+            return False
+        _, path, old_mtime = entry
+        mtime = os.stat(path).st_mtime
+        if not force and mtime == old_mtime:
+            return False
+        params = self._load(path)
+        with self._lock:
+            self._models[name] = (params, path, mtime)
+        return True
+
+
 class StylizeServer:
     """Background micro-batching wrapper around the jitted stylize path.
 
     Thread-safe; ``submit`` may be called from any number of threads.
+
+    Single-tenant: ``StylizeServer(params)``; every request uses the one
+    model. Multi-tenant: ``StylizeServer(registry=reg)``; each request
+    names its model and batches form per (model, H, W) — models hot-swap
+    through :class:`ModelRegistry` without touching the server.
     """
 
-    def __init__(self, params, max_batch: int = 8, max_wait_ms: float = 3.0):
+    def __init__(self, params=None, max_batch: int = 8, max_wait_ms: float = 3.0,
+                 registry: ModelRegistry | None = None):
+        if (params is None) == (registry is None):
+            raise ValueError("pass exactly one of params= or registry=")
         self._params = params
+        self._registry = registry
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._lock = threading.Condition()
-        # (H, W) -> deque of (image, future); insertion order preserved for
-        # FIFO fairness across shapes via _order.
-        self._pending: dict[tuple[int, int], collections.deque] = {}
-        self._order: collections.deque[tuple[int, int]] = collections.deque()
+        # (model, H, W) -> deque of (image, future); insertion order
+        # preserved for FIFO fairness across keys via _order.
+        self._pending: dict[tuple, collections.deque] = {}
+        self._order: collections.deque[tuple] = collections.deque()
         self._closed = False
         self.stats = {"batches": 0, "images": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, image_bgr_uint8: np.ndarray) -> Future:
-        """Queue one HWC BGR uint8 image; resolves to the stylized uint8 HWC."""
+    def submit(self, image_bgr_uint8: np.ndarray, model: str | None = None) -> Future:
+        """Queue one HWC BGR uint8 image; resolves to the stylized uint8 HWC.
+
+        ``model`` names a registry entry (required in multi-tenant mode,
+        rejected in single-tenant mode).
+        """
         if image_bgr_uint8.ndim != 3 or image_bgr_uint8.shape[-1] != 3:
             raise ValueError(f"expected HWC BGR image, got {image_bgr_uint8.shape}")
+        if self._registry is not None:
+            if model is None:
+                raise ValueError("multi-tenant server: submit(..., model=...) required")
+            if model not in self._registry:
+                raise KeyError(f"model {model!r} is not registered")
+        elif model is not None:
+            raise ValueError("single-tenant server does not take model=")
         fut: Future = Future()
-        key = (image_bgr_uint8.shape[0], image_bgr_uint8.shape[1])
+        key = (model, image_bgr_uint8.shape[0], image_bgr_uint8.shape[1])
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -118,10 +230,15 @@ class StylizeServer:
             item = self._take_batch()
             if item is None:
                 return
-            _, batch = item
+            key, batch = item
             images = np.stack([im for im, _ in batch])
             try:
-                out = np.asarray(stylize(self._params, jnp.asarray(images)))
+                params = (
+                    self._params
+                    if self._registry is None
+                    else self._registry.get(key[0])
+                )
+                out = np.asarray(stylize(params, jnp.asarray(images)))
             except Exception as e:  # propagate compile/device failures per-request
                 for _, fut in batch:
                     fut.set_exception(e)

@@ -107,3 +107,115 @@ def test_server_threaded_submitters(params):
         srv.close()
     assert len(results) == 6
     assert all(o.shape == (16, 16, 3) for o in results)
+
+
+# --- Multi-tenant registry (ROADMAP 7) -----------------------------------
+
+
+def test_registry_register_get_reload(tmp_path, params):
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry
+    from artist_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    reg = ModelRegistry()
+    reg.register("a", params=params)
+    assert "a" in reg and reg.names() == ["a"]
+    assert reg.get("a") is params
+
+    # file-backed registration + mtime hot-reload
+    p1 = init_transformer_params(jax.random.key(1))
+    path = str(tmp_path / "m.npz")
+    save_params_npz(path, p1)
+    reg.register("b", path=path)
+    w0 = np.asarray(reg.get("b")["encoder"][0]["w"])
+    np.testing.assert_array_equal(w0, np.asarray(p1["encoder"][0]["w"]))
+
+    assert reg.reload("b") is False  # unchanged file -> no swap
+    p2 = init_transformer_params(jax.random.key(2))
+    save_params_npz(path, p2)
+    import os
+
+    os.utime(path, (os.stat(path).st_atime, os.stat(path).st_mtime + 2))
+    assert reg.reload("b") is True
+    np.testing.assert_array_equal(
+        np.asarray(reg.get("b")["encoder"][0]["w"]),
+        np.asarray(p2["encoder"][0]["w"]),
+    )
+
+    reg.unregister("b")
+    with pytest.raises(KeyError):
+        reg.get("b")
+
+
+def test_registry_pth_roundtrip(tmp_path, params):
+    """Registry reads the reference .pth checkpoint layout (train_cnn.py:383-390)."""
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry
+    from artist_style_transfer_tpu.train.checkpoint import export_pth
+
+    path = str(tmp_path / "transfer_17-25_2.pth")
+    export_pth(path, params)
+    reg = ModelRegistry()
+    reg.register("renoir/random", path=path)
+    got = reg.get("renoir/random")
+    np.testing.assert_allclose(
+        np.asarray(got["encoder"][0]["w"]),
+        np.asarray(params["encoder"][0]["w"]),
+        rtol=1e-6,
+    )
+
+
+def test_multitenant_server_routes_and_hot_reloads(tmp_path, params):
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry
+    from artist_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    rng = np.random.default_rng(3)
+    img = _img(rng, 16, 16)
+    p_b = init_transformer_params(jax.random.key(7))
+    path = str(tmp_path / "b.npz")
+    save_params_npz(path, p_b)
+
+    reg = ModelRegistry(auto_reload=True)
+    reg.register("a", params=params)
+    reg.register("b", path=path)
+    srv = StylizeServer(registry=reg, max_batch=4, max_wait_ms=10.0)
+    try:
+        out_a = srv.submit(img, model="a").result(timeout=240)
+        out_b = srv.submit(img, model="b").result(timeout=240)
+        np.testing.assert_array_equal(
+            out_a, np.asarray(stylize(params, jnp.asarray(img[None])))[0]
+        )
+        np.testing.assert_array_equal(
+            out_b, np.asarray(stylize(p_b, jnp.asarray(img[None])))[0]
+        )
+
+        # hot-swap model b's weights on disk; auto_reload picks them up
+        p_b2 = init_transformer_params(jax.random.key(8))
+        save_params_npz(path, p_b2)
+        import os
+
+        os.utime(path, (os.stat(path).st_atime, os.stat(path).st_mtime + 2))
+        out_b2 = srv.submit(img, model="b").result(timeout=240)
+        np.testing.assert_array_equal(
+            out_b2, np.asarray(stylize(p_b2, jnp.asarray(img[None])))[0]
+        )
+
+        with pytest.raises(KeyError):
+            srv.submit(img, model="missing")
+        with pytest.raises(ValueError):
+            srv.submit(img)  # model= required in multi-tenant mode
+    finally:
+        srv.close()
+
+
+def test_server_ctor_validation(params):
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry
+
+    with pytest.raises(ValueError):
+        StylizeServer()  # neither params nor registry
+    with pytest.raises(ValueError):
+        StylizeServer(params, registry=ModelRegistry())  # both
+    srv = StylizeServer(params)
+    try:
+        with pytest.raises(ValueError):
+            srv.submit(np.zeros((8, 8, 3), np.uint8), model="a")
+    finally:
+        srv.close()
