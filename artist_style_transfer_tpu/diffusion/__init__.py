@@ -14,3 +14,4 @@ from artist_style_transfer_tpu.diffusion.gaussian import GaussianDiffusion  # no
 from artist_style_transfer_tpu.diffusion.unet import diff_model_apply, init_diff_model  # noqa: F401
 from artist_style_transfer_tpu.diffusion.sample import diff_sample  # noqa: F401
 from artist_style_transfer_tpu.diffusion.train import train_diffusion  # noqa: F401
+from artist_style_transfer_tpu.diffusion.evaluate import cfid, frechet_distance  # noqa: F401

@@ -4,6 +4,8 @@ Subcommands:
 - ``train``: fit `diff_model` on the painting corpus (artist-labeled)
 - ``sample``: class-conditional sampling, optionally classifier-guided
   via the pretrained artist classifier (models/best-2.pth)
+- ``eval``: classifier Fréchet distance (CFID) between samples drawn from
+  a trained model and the artist's real paintings
 """
 
 from __future__ import annotations
@@ -43,6 +45,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--schedule", choices=("linear", "cosine"), default="linear")
     s.add_argument("--out", default="figs/diffusion_samples.png")
+
+    e = sub.add_parser("eval")
+    e.add_argument("--model", default="models/diffusion/diff_model.npz")
+    e.add_argument("--artist", default="Vincent_van_Gogh")
+    e.add_argument("--num_samples", type=int, default=64)
+    e.add_argument("--image_size", type=int, default=64)
+    e.add_argument("--num_timesteps", type=int, default=1000)
+    e.add_argument("--base_channels", type=int, default=64)
+    e.add_argument("--guidance_scale", type=float, default=0.0)
+    e.add_argument("--classifier_path", default="models/best-2.pth")
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--schedule", choices=("linear", "cosine"), default="linear")
+    e.add_argument("--sample_batch", type=int, default=16)
+    e.add_argument("--archive_dir", default="images/archive/")
+    e.add_argument("--cache_dir", default="dicts/")
     return p
 
 
@@ -97,7 +114,7 @@ def main(argv=None):
         print(f"wrote {args.out}; final loss {losses[-1]:.4f}")
         return args.out
 
-    # sample
+    # sample / eval share the model + sampler setup
     from artist_style_transfer_tpu.diffusion import (
         GaussianDiffusion,
         diff_sample,
@@ -111,13 +128,43 @@ def main(argv=None):
     diffusion = GaussianDiffusion.make(args.num_timesteps, schedule=args.schedule)
 
     clf_params = None
-    if args.guidance_scale > 0:
+    if args.guidance_scale > 0 or args.cmd == "eval":
         from artist_style_transfer_tpu.utils.torch_import import (
             classifier_params_from_torch,
             load_torch_state_dict,
         )
 
         clf_params = classifier_params_from_torch(load_torch_state_dict(args.classifier_path))
+
+    if args.cmd == "eval":
+        from artist_style_transfer_tpu.data import get_painting_dataset
+        from artist_style_transfer_tpu.diffusion import cfid
+
+        cls_id = ARTISTS_19.index(args.artist)
+        chunks = []
+        key = jax.random.key(args.seed)
+        for i in range(0, args.num_samples, args.sample_batch):
+            n = min(args.sample_batch, args.num_samples - i)
+            key, k = jax.random.split(key)
+            y = jnp.full((n,), cls_id, jnp.int32)
+            chunks.append(np.asarray(diff_sample(
+                params, diffusion, k, y,
+                shape=(args.image_size, args.image_size),
+                classifier_params=clf_params if args.guidance_scale > 0 else None,
+                guidance_scale=args.guidance_scale,
+            )))
+        gen = np.concatenate(chunks)
+        corpus = get_painting_dataset(
+            for_classifier=False,
+            rescale_height=args.image_size,
+            rescale_width=args.image_size,
+            archive_dir=args.archive_dir,
+            cache_dir=args.cache_dir,
+        )
+        real = np.asarray(corpus[args.artist])  # (n, H, W, 3) BGR [0,255]
+        score = cfid(clf_params, real, gen)
+        print(f"CFID={score:.3f} (artist={args.artist}, n_gen={len(gen)}, n_real={len(real)})")
+        return score
 
     y = jnp.full((args.num_samples,), ARTISTS_19.index(args.artist), jnp.int32)
     out = diff_sample(

@@ -117,8 +117,15 @@ def _bottleneck(p: dict, x: jax.Array, stride: int) -> jax.Array:
     return jax.nn.relu(h + identity)
 
 
-def classifier_apply(params: dict, x: jax.Array) -> jax.Array:
-    """Logits (N, num_classes) from NHWC RGB torchvision-normalized input."""
+def classifier_apply(
+    params: dict, x: jax.Array, return_features: bool = False
+) -> jax.Array:
+    """Logits (N, num_classes) from NHWC RGB torchvision-normalized input.
+
+    ``return_features=True`` returns the 512-dim penultimate representation
+    (post-ReLU fc1 output) instead — the embedding the Fréchet eval metric
+    uses (:mod:`artist_style_transfer_tpu.diffusion.evaluate`).
+    """
     p = params["stem"]
     x = jax.nn.relu(_bn(conv2d(x, p["conv"]["w"], stride=2, padding=3), p["bn"]))
     x = max_pool2d(x, 3, 2, padding=1)
@@ -129,5 +136,7 @@ def classifier_apply(params: dict, x: jax.Array) -> jax.Array:
     feats = jnp.concatenate([max_pool_global(x), avg_pool_global(x)], axis=-1)  # (N, 4096)
     h = _bn(feats, params["head"]["bn1"])
     h = jax.nn.relu(linear(h, params["head"]["fc1"]["w"], params["head"]["fc1"]["b"]))
+    if return_features:
+        return h
     h = _bn(h, params["head"]["bn2"])
     return linear(h, params["head"]["fc2"]["w"], params["head"]["fc2"]["b"])

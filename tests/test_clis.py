@@ -115,3 +115,10 @@ def test_diffusion_cli_train_and_sample(cli_workspace):
         "--base_channels", "32", "--out", "figs/dsamp.png",
     ])
     assert os.path.exists(out)
+
+    score = main([
+        "eval", "--model", model_path, "--artist", "Alfred_Sisley",
+        "--num_samples", "2", "--sample_batch", "2", "--image_size", "16",
+        "--num_timesteps", "8", "--base_channels", "32",
+    ])
+    assert np.isfinite(score) and score >= 0.0

@@ -127,3 +127,46 @@ def test_diff_sample_shapes_and_guidance():
     )
     assert guided.shape == (2, HW, HW, 3)
     assert not np.allclose(np.asarray(guided), o)  # guidance changes the samples
+
+
+# --- Fréchet eval (CFID) ---------------------------------------------------
+
+
+def test_frechet_distance_analytic():
+    """frechet_distance matches the closed form for known Gaussians."""
+    from artist_style_transfer_tpu.diffusion.evaluate import frechet_distance
+
+    rng = np.random.default_rng(0)
+    d = 6
+    mu1, mu2 = rng.standard_normal(d), rng.standard_normal(d)
+    # diagonal covariances -> FID = |dmu|^2 + sum (sqrt(a_i) - sqrt(b_i))^2
+    a, b = rng.random(d) + 0.5, rng.random(d) + 0.5
+    want = float(np.sum((mu1 - mu2) ** 2) + np.sum((np.sqrt(a) - np.sqrt(b)) ** 2))
+    got = frechet_distance(mu1, np.diag(a), mu2, np.diag(b))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    # identical Gaussians (dense covariance) -> exactly 0
+    q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    s = q @ np.diag(rng.random(d) + 0.1) @ q.T
+    assert abs(frechet_distance(mu1, s, mu1, s)) < 1e-9
+
+    # rotation-invariant sanity: distance is symmetric
+    s2 = q @ np.diag(rng.random(d) + 0.1) @ q.T
+    np.testing.assert_allclose(
+        frechet_distance(mu1, s, mu2, s2), frechet_distance(mu2, s2, mu1, s), rtol=1e-9
+    )
+
+
+def test_cfid_discriminates():
+    """CFID ~0 for the same image set, larger for a disjoint noisy set."""
+    from artist_style_transfer_tpu.diffusion.evaluate import cfid
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+    rng = np.random.default_rng(1)
+    clf = init_classifier_params(jax.random.key(0), num_classes=3)
+    real = (rng.random((12, HW, HW, 3)) * 255).astype(np.float32)
+    same = cfid(clf, real, real.copy(), batch=6)
+    other = (rng.random((12, HW, HW, 3)) * 64).astype(np.float32)  # darker set
+    far = cfid(clf, real, other, batch=6)
+    assert abs(same) < 1e-6
+    assert far > same + 1e-3
