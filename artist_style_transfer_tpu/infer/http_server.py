@@ -1,0 +1,288 @@
+"""HTTP front-end for the stylization serving stack (ROADMAP: serving).
+
+The reference has no serving story at all — ``inference.py`` is an
+edit-constants-and-run script (inference.py:24-52). This module puts a
+network face on :class:`~artist_style_transfer_tpu.infer.serve.StylizeServer`
++ :class:`~artist_style_transfer_tpu.infer.serve.ModelRegistry`:
+
+- ``GET  /healthz``                  liveness probe
+- ``GET  /statsz``                   batcher counters (batches, images)
+- ``GET  /v1/models``                registered model names (JSON)
+- ``POST /v1/models/<name>/reload``  force a checkpoint re-read
+- ``POST /v1/stylize?model=<name>``  body = JPEG/PNG bytes; response =
+  stylized image. Query knobs: ``format=jpg|png`` (default jpg),
+  ``blur=<sigma>`` / ``sharpen=<amount>`` mirroring the reference's
+  post-filters (inference.py:38-44, 119-125).
+
+Design notes (TPU serving shape):
+
+- stdlib ``ThreadingHTTPServer``: each connection is a thread that blocks
+  on its request's ``Future`` — the *device* work is still coalesced into
+  MXU-sized batches by ``StylizeServer``'s single worker, so concurrency
+  scales with the batcher, not with Python threads doing math.
+- image decode/encode stays on the host (cv2), exactly like the data
+  pipeline; bytes move device-ward as uint8.
+- model files use the reference checkpoint tree
+  ``models/<artist>/<method>/transfer[2]_<cw>-<sw>_<epoch>.pth``
+  (train_cnn.py:173-178): :func:`discover_models` registers the newest
+  checkpoint per ``<artist>/<method>`` under that name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from artist_style_transfer_tpu.infer.serve import ModelRegistry, StylizeServer
+
+_CKPT_RE = re.compile(r"^transfer2?_.*_(\d+)\.(pth|npz)$")
+
+
+def _cv2():
+    try:
+        import cv2
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise RuntimeError("OpenCV is required for HTTP image decode/encode") from e
+    return cv2
+
+
+def discover_models(models_dir: str) -> dict[str, str]:
+    """Map ``<artist>/<method>`` -> newest checkpoint path under ``models_dir``.
+
+    Mirrors the reference's model tree (train_cnn.py:173-178,
+    inference.py:27-31): per ``<artist>/<method>`` directory the
+    ``transfer[2]_<cw>-<sw>_<epoch>.pth`` file with the highest epoch wins
+    (``.npz`` exports are accepted too).
+    """
+    found: dict[str, str] = {}
+    if not os.path.isdir(models_dir):
+        return found
+    for artist in sorted(os.listdir(models_dir)):
+        adir = os.path.join(models_dir, artist)
+        if not os.path.isdir(adir):
+            continue
+        for method in sorted(os.listdir(adir)):
+            mdir = os.path.join(adir, method)
+            if not os.path.isdir(mdir):
+                continue
+            # Highest epoch wins; on a tie (the training CLI exports both
+            # .pth and .npz at the final epoch) prefer the framework-native
+            # .npz. Sorted scan keeps the choice deterministic.
+            best: tuple[int, int, str] | None = None
+            for fname in sorted(os.listdir(mdir)):
+                m = _CKPT_RE.match(fname)
+                if m:
+                    key = (int(m.group(1)), 1 if m.group(2) == "npz" else 0)
+                    if best is None or key > best[:2]:
+                        best = (*key, os.path.join(mdir, fname))
+            if best is not None:
+                found[f"{artist}/{method}"] = best[2]
+    return found
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by make_http_server():
+    server_ctx: dict = {}
+
+    # quiet request logging (structured logging happens at the app level)
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    # ------------------------------------------------------------------
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        self._json(code, {"error": message})
+
+    # ------------------------------------------------------------------
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        ctx = self.server_ctx
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._json(200, {"status": "ok"})
+        elif path == "/statsz":
+            self._json(200, dict(ctx["server"].stats))
+        elif path == "/v1/models":
+            self._json(200, {"models": ctx["registry"].names()})
+        else:
+            self._error(404, f"unknown path {path}")
+
+    def do_POST(self):  # noqa: N802 (stdlib API)
+        ctx = self.server_ctx
+        parsed = urlparse(self.path)
+        path = parsed.path
+        reload_m = re.match(r"^/v1/models/(.+)/reload$", path)
+        if reload_m:
+            name = reload_m.group(1)
+            registry: ModelRegistry = ctx["registry"]
+            if name not in registry:
+                return self._error(404, f"model {name!r} is not registered")
+            try:
+                swapped = registry.reload(name, force=True)
+            except Exception as e:
+                return self._error(500, f"reload failed: {e}")
+            return self._json(200, {"model": name, "reloaded": bool(swapped)})
+        if path != "/v1/stylize":
+            return self._error(404, f"unknown path {path}")
+
+        q = parse_qs(parsed.query)
+        name = q.get("model", [None])[0]
+        registry: ModelRegistry = ctx["registry"]
+        if name is None:
+            names = registry.names()
+            if len(names) != 1:
+                return self._error(
+                    400, "model= query parameter required (multiple models registered)"
+                )
+            name = names[0]
+        if name not in registry:
+            return self._error(404, f"model {name!r} is not registered")
+
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            return self._error(400, "empty request body (expected image bytes)")
+        data = self.rfile.read(length)
+        cv2 = _cv2()
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            return self._error(400, "could not decode image body")
+
+        try:
+            out = ctx["server"].submit(img.astype(np.uint8), model=name).result(
+                timeout=ctx["timeout_s"]
+            )
+        except Exception as e:
+            return self._error(500, f"stylize failed: {e}")
+
+        # Post-filters mirror the reference's BLUR/SHARPEN knobs
+        # (inference.py:38-44, 119-125), applied host-side on the result.
+        try:
+            blur = float(q.get("blur", [0.0])[0])
+            sharpen_amt = float(q.get("sharpen", [0.0])[0])
+        except ValueError:
+            return self._error(400, "blur/sharpen must be numeric")
+        if blur > 0 or sharpen_amt > 0:
+            from artist_style_transfer_tpu.infer.stylize import gaussian_blur, sharpen
+
+            if blur > 0:
+                out = gaussian_blur(out, sigma=blur)
+            if sharpen_amt > 0:
+                out = sharpen(out, sharpen_val=sharpen_amt)
+
+        fmt = q.get("format", ["jpg"])[0].lower()
+        if fmt not in ("jpg", "jpeg", "png"):
+            return self._error(400, f"unsupported format {fmt!r}")
+        ext = ".png" if fmt == "png" else ".jpg"
+        ok, buf = cv2.imencode(ext, out)
+        if not ok:
+            return self._error(500, "image encode failed")
+        body = buf.tobytes()
+        self.send_response(200)
+        self.send_header(
+            "Content-Type", "image/png" if fmt == "png" else "image/jpeg"
+        )
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def make_http_server(
+    registry: ModelRegistry,
+    server: StylizeServer,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    request_timeout_s: float = 120.0,
+) -> ThreadingHTTPServer:
+    """Build a ``ThreadingHTTPServer`` bound to ``host:port`` (0 = ephemeral).
+
+    The caller owns the lifecycle: ``serve_forever()`` (or a thread running
+    it) and ``shutdown()``; the ``StylizeServer`` is closed separately.
+    """
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {
+            "server_ctx": {
+                "registry": registry,
+                "server": server,
+                "timeout_s": request_timeout_s,
+            }
+        },
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv=None) -> None:
+    from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(
+        description="Multi-tenant TPU stylization HTTP server"
+    )
+    parser.add_argument(
+        "--models-dir",
+        default=None,
+        help="reference-layout model tree models/<artist>/<method>/*.pth "
+        "(train_cnn.py:173-178); newest epoch per method is registered",
+    )
+    parser.add_argument(
+        "--model",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register one checkpoint under NAME (repeatable)",
+    )
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=8)
+    parser.add_argument("--max-wait-ms", type=float, default=3.0)
+    parser.add_argument(
+        "--auto-reload",
+        action="store_true",
+        help="re-stat checkpoint files on every request and hot-swap on change",
+    )
+    args = parser.parse_args(argv)
+
+    enable_compilation_cache()
+    registry = ModelRegistry(auto_reload=args.auto_reload)
+    if args.models_dir:
+        for name, path in discover_models(args.models_dir).items():
+            registry.register(name, path=path)
+            print(f"registered {name} <- {path}")
+    for spec in args.model:
+        name, _, path = spec.partition("=")
+        if not path:
+            parser.error(f"--model expects NAME=PATH, got {spec!r}")
+        registry.register(name, path=path)
+        print(f"registered {name} <- {path}")
+    if not registry.names():
+        parser.error("no models registered (use --models-dir or --model)")
+
+    server = StylizeServer(
+        registry=registry, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    httpd = make_http_server(registry, server, host=args.host, port=args.port)
+    print(f"serving {len(registry.names())} model(s) on {args.host}:{httpd.server_port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

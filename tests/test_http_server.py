@@ -1,0 +1,203 @@
+"""HTTP serving front-end: stylize/models/reload endpoints over a live socket.
+
+The reference has no serving component (inference.py is a run-once
+script); these tests cover the framework's own serving stack end to end:
+ThreadingHTTPServer -> StylizeServer micro-batcher -> jitted stylize.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+from artist_style_transfer_tpu.infer.http_server import discover_models, make_http_server
+from artist_style_transfer_tpu.infer.serve import ModelRegistry, StylizeServer
+from artist_style_transfer_tpu.infer.stylize import stylize
+from artist_style_transfer_tpu.models.transformer import init_transformer_params
+
+
+@pytest.fixture(scope="module")
+def served():
+    """(base_url, params_a, params_b) for a live two-model server."""
+    p_a = init_transformer_params(jax.random.key(0))
+    p_b = init_transformer_params(jax.random.key(1))
+    registry = ModelRegistry()
+    registry.register("renoir/random", params=p_a)
+    registry.register("monet/cycle", params=p_b)
+    server = StylizeServer(registry=registry, max_batch=4, max_wait_ms=5.0)
+    httpd = make_http_server(registry, server, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_port}", p_a, p_b
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, r.read()
+
+
+def _post(url, data=b"", headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {}, method="POST")
+    with urllib.request.urlopen(req, timeout=240) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz_statsz_models(served):
+    base, _, _ = served
+    status, body = _get(base + "/healthz")
+    assert status == 200 and json.loads(body) == {"status": "ok"}
+    status, body = _get(base + "/statsz")
+    assert status == 200 and set(json.loads(body)) == {"batches", "images"}
+    status, body = _get(base + "/v1/models")
+    assert status == 200
+    assert json.loads(body)["models"] == ["monet/cycle", "renoir/random"]
+
+
+def test_stylize_roundtrip_matches_direct(served):
+    base, p_a, _ = served
+    rng = np.random.default_rng(0)
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    ok, png = cv2.imencode(".png", img)
+    assert ok
+    status, ctype, body = _post(
+        base + "/v1/stylize?model=renoir/random&format=png", data=png.tobytes()
+    )
+    assert status == 200 and ctype == "image/png"
+    got = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    want = np.asarray(stylize(p_a, jnp.asarray(img[None])))[0]
+    # PNG is lossless both ways -> exact equality with the direct jitted path
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stylize_routes_by_model(served):
+    base, p_a, p_b = served
+    rng = np.random.default_rng(1)
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    _, _, body_b = _post(base + "/v1/stylize?model=monet/cycle&format=png", data=png)
+    got_b = cv2.imdecode(np.frombuffer(body_b, np.uint8), cv2.IMREAD_COLOR)
+    want_b = np.asarray(stylize(p_b, jnp.asarray(img[None])))[0]
+    np.testing.assert_array_equal(got_b, want_b)
+
+
+def test_stylize_jpeg_default_format(served):
+    base, _, _ = served
+    img = np.full((16, 16, 3), 128, np.uint8)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    status, ctype, body = _post(base + "/v1/stylize?model=renoir/random", data=png)
+    assert status == 200 and ctype == "image/jpeg"
+    assert cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR).shape == img.shape
+
+
+def test_stylize_post_filters(served):
+    base, p_a, _ = served
+    rng = np.random.default_rng(2)
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    png = cv2.imencode(".png", img)[1].tobytes()
+    status, _, body = _post(
+        base + "/v1/stylize?model=renoir/random&format=png&blur=1.0&sharpen=50",
+        data=png,
+    )
+    assert status == 200
+    from artist_style_transfer_tpu.infer.stylize import gaussian_blur, sharpen
+
+    got = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    want = np.asarray(stylize(p_a, jnp.asarray(img[None])))[0]
+    want = sharpen(gaussian_blur(want, sigma=1.0), sharpen_val=50.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_errors(served):
+    base, _, _ = served
+    img_png = cv2.imencode(".png", np.zeros((8, 8, 3), np.uint8))[1].tobytes()
+    cases = [
+        ("POST", "/v1/stylize?model=missing/model", img_png, 404),
+        ("POST", "/v1/stylize", img_png, 400),  # two models -> model= required
+        ("POST", "/v1/stylize?model=renoir/random", b"", 400),  # empty body
+        ("POST", "/v1/stylize?model=renoir/random", b"not an image", 400),
+        ("POST", "/v1/stylize?model=renoir/random&format=gif", img_png, 400),
+        ("POST", "/v1/stylize?model=renoir/random&blur=nan3x", img_png, 400),
+        ("POST", "/v1/models/missing/reload", b"", 404),
+        ("GET", "/nope", None, 404),
+    ]
+    for method, path, data, want in cases:
+        try:
+            if method == "GET":
+                status, _ = _get(base + path)
+            else:
+                status, _, _ = _post(base + path, data=data)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == want, (path, status)
+
+
+def test_reload_endpoint_and_hot_swap(tmp_path):
+    from artist_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    p1 = init_transformer_params(jax.random.key(5))
+    p2 = init_transformer_params(jax.random.key(6))
+    path = str(tmp_path / "m.npz")
+    save_params_npz(path, p1)
+
+    registry = ModelRegistry()
+    registry.register("a", path=path)
+    server = StylizeServer(registry=registry, max_batch=2, max_wait_ms=2.0)
+    httpd = make_http_server(registry, server, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        img = np.full((8, 8, 3), 64, np.uint8)
+        png = cv2.imencode(".png", img)[1].tobytes()
+        # single registered model -> model= may be omitted
+        _, _, body1 = _post(base + "/v1/stylize?format=png", data=png)
+        got1 = cv2.imdecode(np.frombuffer(body1, np.uint8), cv2.IMREAD_COLOR)
+        np.testing.assert_array_equal(
+            got1, np.asarray(stylize(p1, jnp.asarray(img[None])))[0]
+        )
+
+        save_params_npz(path, p2)
+        status, _, body = _post(base + "/v1/models/a/reload")
+        assert status == 200 and json.loads(body)["reloaded"] is True
+
+        _, _, body2 = _post(base + "/v1/stylize?format=png", data=png)
+        got2 = cv2.imdecode(np.frombuffer(body2, np.uint8), cv2.IMREAD_COLOR)
+        np.testing.assert_array_equal(
+            got2, np.asarray(stylize(p2, jnp.asarray(img[None])))[0]
+        )
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_discover_models(tmp_path):
+    """Reference model-tree discovery (train_cnn.py:173-178 naming)."""
+    d = tmp_path / "models"
+    (d / "Renoir" / "random").mkdir(parents=True)
+    (d / "Renoir" / "cycle").mkdir(parents=True)
+    (d / "Monet").mkdir()  # artist dir without method subdirs -> ignored
+    (d / "Renoir" / "random" / "transfer_17-25_10.pth").write_bytes(b"")
+    (d / "Renoir" / "random" / "transfer_17-25_200.pth").write_bytes(b"")
+    (d / "Renoir" / "random" / "transfer2_17-25_50.pth").write_bytes(b"")
+    (d / "Renoir" / "random" / "style.jpg").write_bytes(b"")
+    (d / "Renoir" / "cycle" / "transfer_17-25_30.npz").write_bytes(b"")
+    # same-epoch tie (training CLI exports both): native .npz preferred
+    (d / "Renoir" / "cycle" / "transfer_17-25_30.pth").write_bytes(b"")
+    got = discover_models(str(d))
+    assert got == {
+        "Renoir/random": str(d / "Renoir" / "random" / "transfer_17-25_200.pth"),
+        "Renoir/cycle": str(d / "Renoir" / "cycle" / "transfer_17-25_30.npz"),
+    }
+    assert discover_models(str(tmp_path / "missing")) == {}
