@@ -20,6 +20,15 @@ def device_prefetch(
     sharding: jax.sharding.Sharding | None = None,
 ) -> Iterator:
     """Yield device arrays while keeping ``buffer_size`` transfers in flight."""
+    if buffer_size < 1:
+        # buffer_size=0 would yield nothing (silent data loss), not
+        # "no prefetch" — reject it loudly, and eagerly (this wrapper is a
+        # plain function so the check fires at call time, not first next()).
+        raise ValueError(f"buffer_size must be >= 1, got {buffer_size}")
+    return _device_prefetch_gen(batches, buffer_size, sharding)
+
+
+def _device_prefetch_gen(batches, buffer_size, sharding):
     queue = collections.deque()
 
     def put(batch):

@@ -111,21 +111,65 @@ def main(argv=None):
         )
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         save_params_npz(args.out, params)
-        print(f"wrote {args.out}; final loss {losses[-1]:.4f}")
+        # Persist the label space: class id i = names[i] (artists.csv row
+        # order) — sample/eval must condition in THIS space, which is not
+        # ARTISTS_19's order or size.
+        import json
+
+        with open(args.out + ".labels.json", "w") as f:
+            json.dump({"names": names}, f)
+        print(f"wrote {args.out} (+ .labels.json); final loss {losses[-1]:.4f}")
         return args.out
 
     # sample / eval share the model + sampler setup
+    import json
+    import warnings
+
     from artist_style_transfer_tpu.diffusion import (
         GaussianDiffusion,
         diff_sample,
         init_diff_model,
     )
 
+    # The model's class-id space comes from its training sidecar (artists.csv
+    # row order at train time); falling back to ARTISTS_19 only for legacy
+    # checkpoints saved without one.
+    labels_path = args.model + ".labels.json"
+    if os.path.exists(labels_path):
+        with open(labels_path) as f:
+            model_names = json.load(f)["names"]
+    else:
+        warnings.warn(
+            f"{labels_path} not found; assuming the model was trained with "
+            "the 19-artist label space (ARTISTS_19)",
+            stacklevel=1,
+        )
+        model_names = list(ARTISTS_19)
+    if args.artist not in model_names:
+        raise SystemExit(
+            f"artist {args.artist!r} is not in the model's label space; "
+            f"trained artists: {', '.join(model_names)}"
+        )
+    model_cls_id = model_names.index(args.artist)
+
     template = init_diff_model(
-        jax.random.key(0), num_classes=19, base_channels=args.base_channels
+        jax.random.key(0),
+        num_classes=len(model_names),
+        base_channels=args.base_channels,
     )
     params = load_params_npz(args.model, template)
     diffusion = GaussianDiffusion.make(args.num_timesteps, schedule=args.schedule)
+
+    # Guidance uses the fixed 19-class classifier head (classifier.py:43-66)
+    # — its label space is ARTISTS_19 regardless of the model's.
+    clf_y_id = None
+    if args.guidance_scale > 0:
+        if args.artist not in ARTISTS_19:
+            raise SystemExit(
+                f"classifier guidance requires an ARTISTS_19 artist; "
+                f"{args.artist!r} is not one of them"
+            )
+        clf_y_id = ARTISTS_19.index(args.artist)
 
     clf_params = None
     if args.guidance_scale > 0 or args.cmd == "eval":
@@ -140,18 +184,18 @@ def main(argv=None):
         from artist_style_transfer_tpu.data import get_painting_dataset
         from artist_style_transfer_tpu.diffusion import cfid
 
-        cls_id = ARTISTS_19.index(args.artist)
         chunks = []
         key = jax.random.key(args.seed)
         for i in range(0, args.num_samples, args.sample_batch):
             n = min(args.sample_batch, args.num_samples - i)
             key, k = jax.random.split(key)
-            y = jnp.full((n,), cls_id, jnp.int32)
+            y = jnp.full((n,), model_cls_id, jnp.int32)
             chunks.append(np.asarray(diff_sample(
                 params, diffusion, k, y,
                 shape=(args.image_size, args.image_size),
                 classifier_params=clf_params if args.guidance_scale > 0 else None,
                 guidance_scale=args.guidance_scale,
+                classifier_y=None if clf_y_id is None else jnp.full((n,), clf_y_id, jnp.int32),
             )))
         gen = np.concatenate(chunks)
         corpus = get_painting_dataset(
@@ -166,7 +210,7 @@ def main(argv=None):
         print(f"CFID={score:.3f} (artist={args.artist}, n_gen={len(gen)}, n_real={len(real)})")
         return score
 
-    y = jnp.full((args.num_samples,), ARTISTS_19.index(args.artist), jnp.int32)
+    y = jnp.full((args.num_samples,), model_cls_id, jnp.int32)
     out = diff_sample(
         params,
         diffusion,
@@ -175,6 +219,9 @@ def main(argv=None):
         shape=(args.image_size, args.image_size),
         classifier_params=clf_params,
         guidance_scale=args.guidance_scale,
+        classifier_y=None
+        if clf_y_id is None
+        else jnp.full((args.num_samples,), clf_y_id, jnp.int32),
     )
     import cv2
 

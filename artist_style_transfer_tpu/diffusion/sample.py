@@ -44,13 +44,24 @@ def diff_sample(
     params: dict,
     diffusion: GaussianDiffusion,
     key: jax.Array,
-    y: jax.Array,  # (N,) artist class ids
+    y: jax.Array,  # (N,) artist class ids in the MODEL's label space
     shape: tuple[int, int] = (64, 64),
     classifier_params=None,
     guidance_scale: float = 0.0,
     clip_x0: bool = True,
+    classifier_y: jax.Array | None = None,
 ) -> jax.Array:
-    """Sample class-conditional images. Returns NHWC BGR [0, 255] float32."""
+    """Sample class-conditional images. Returns NHWC BGR [0, 255] float32.
+
+    ``y`` indexes the diffusion model's own class embedding (the training
+    corpus's label space); ``classifier_y`` indexes the guidance
+    classifier's label space (the 19-artist head of ``best-2.pth``,
+    classifier.py:43-66). They differ whenever the model was trained on a
+    corpus whose artist enumeration isn't ARTISTS_19 — pass both in that
+    case; ``classifier_y`` defaults to ``y``.
+    """
+    if classifier_y is None:
+        classifier_y = y
     n = y.shape[0]
     h, w = shape
     key, k0 = jax.random.split(key)
@@ -67,7 +78,7 @@ def diff_sample(
             x0 = jnp.clip(x0, -1.0, 1.0)
         mean = diffusion.q_posterior_mean(x0, x, tb)
         if classifier_params is not None and guidance_scale > 0.0:
-            grad = _classifier_logprob_grad(classifier_params, x0, y)
+            grad = _classifier_logprob_grad(classifier_params, x0, classifier_y)
             mean = mean + guidance_scale * _extract(
                 diffusion.posterior_variance, tb, x.ndim
             ) * grad

@@ -162,6 +162,12 @@ def _attention(p, x):
 
 def diff_model_apply(params: dict, x: jax.Array, t: jax.Array, y: jax.Array) -> jax.Array:
     """Predict epsilon for x_t in [-1, 1] scale. t: (N,) int32, y: (N,) class ids."""
+    if x.shape[1] % 4 or x.shape[2] % 4:
+        # two stride-2 downsamples vs nearest-2x upsamples: an indivisible
+        # extent desyncs the skip shapes deep inside jit — fail clearly.
+        raise ValueError(
+            f"diff_model_apply needs H, W divisible by 4, got {x.shape[1:3]}"
+        )
     base = params["conv_in"]["w"].shape[-1]
     emb = timestep_embedding(t, base)
     emb = linear(jax.nn.silu(linear(emb, params["time_mlp1"]["w"], params["time_mlp1"]["b"])),

@@ -151,9 +151,24 @@ class _Handler(BaseHTTPRequestHandler):
         if name not in registry:
             return self._error(404, f"model {name!r} is not registered")
 
+        # Validate every query knob BEFORE decoding/submitting — a malformed
+        # request must not consume a device-batch slot.
+        try:
+            blur = float(q.get("blur", [0.0])[0])
+            sharpen_amt = float(q.get("sharpen", [0.0])[0])
+        except ValueError:
+            return self._error(400, "blur/sharpen must be numeric")
+        fmt = q.get("format", ["jpg"])[0].lower()
+        if fmt not in ("jpg", "jpeg", "png"):
+            return self._error(400, f"unsupported format {fmt!r}")
+
         length = int(self.headers.get("Content-Length") or 0)
         if length <= 0:
             return self._error(400, "empty request body (expected image bytes)")
+        if length > ctx["max_body_bytes"]:
+            return self._error(
+                413, f"request body too large ({length} > {ctx['max_body_bytes']} bytes)"
+            )
         data = self.rfile.read(length)
         cv2 = _cv2()
         img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
@@ -169,11 +184,6 @@ class _Handler(BaseHTTPRequestHandler):
 
         # Post-filters mirror the reference's BLUR/SHARPEN knobs
         # (inference.py:38-44, 119-125), applied host-side on the result.
-        try:
-            blur = float(q.get("blur", [0.0])[0])
-            sharpen_amt = float(q.get("sharpen", [0.0])[0])
-        except ValueError:
-            return self._error(400, "blur/sharpen must be numeric")
         if blur > 0 or sharpen_amt > 0:
             from artist_style_transfer_tpu.infer.stylize import gaussian_blur, sharpen
 
@@ -182,9 +192,6 @@ class _Handler(BaseHTTPRequestHandler):
             if sharpen_amt > 0:
                 out = sharpen(out, sharpen_val=sharpen_amt)
 
-        fmt = q.get("format", ["jpg"])[0].lower()
-        if fmt not in ("jpg", "jpeg", "png"):
-            return self._error(400, f"unsupported format {fmt!r}")
         ext = ".png" if fmt == "png" else ".jpg"
         ok, buf = cv2.imencode(ext, out)
         if not ok:
@@ -205,6 +212,7 @@ def make_http_server(
     host: str = "127.0.0.1",
     port: int = 0,
     request_timeout_s: float = 120.0,
+    max_body_bytes: int = 64 << 20,
 ) -> ThreadingHTTPServer:
     """Build a ``ThreadingHTTPServer`` bound to ``host:port`` (0 = ephemeral).
 
@@ -219,6 +227,7 @@ def make_http_server(
                 "registry": registry,
                 "server": server,
                 "timeout_s": request_timeout_s,
+                "max_body_bytes": int(max_body_bytes),
             }
         },
     )

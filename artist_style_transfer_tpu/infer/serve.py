@@ -23,10 +23,11 @@ previous compilations.
 from __future__ import annotations
 
 import collections
+import logging
 import os
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 
 import jax.numpy as jnp
 import numpy as np
@@ -57,21 +58,9 @@ class ModelRegistry:
 
     @staticmethod
     def _load(path: str):
-        from artist_style_transfer_tpu.utils.torch_import import (
-            load_torch_state_dict,
-            transformer_params_from_torch,
-        )
+        from artist_style_transfer_tpu.infer.stylize import load_transfer_params
 
-        if path.endswith(".npz"):
-            import jax
-
-            from artist_style_transfer_tpu.models.transformer import (
-                init_transformer_params,
-            )
-            from artist_style_transfer_tpu.train.checkpoint import load_params_npz
-
-            return load_params_npz(path, init_transformer_params(jax.random.key(0)))
-        return transformer_params_from_torch(load_torch_state_dict(path))
+        return load_transfer_params(path)
 
     def register(self, name: str, params=None, *, path: str | None = None) -> None:
         """Add (or replace) a model, from in-memory params or a checkpoint file."""
@@ -109,17 +98,27 @@ class ModelRegistry:
         """Re-read the model's file if its mtime changed (or ``force``).
 
         Returns True when new weights were swapped in. No-op for models
-        registered from in-memory params.
+        registered from in-memory params. A stat/load failure (file briefly
+        missing or half-written while a trainer rewrites it) keeps the
+        current weights serving and returns False — live traffic must not
+        fail on a transient checkpoint race; the next reload retries.
         """
         with self._lock:
             entry = self._models.get(name)
         if entry is None or entry[1] is None:
             return False
         _, path, old_mtime = entry
-        mtime = os.stat(path).st_mtime
-        if not force and mtime == old_mtime:
+        try:
+            mtime = os.stat(path).st_mtime
+            if not force and mtime == old_mtime:
+                return False
+            params = self._load(path)
+        except Exception as e:
+            logging.getLogger(__name__).warning(
+                "reload of %r from %s failed (keeping current weights): %s",
+                name, path, e,
+            )
             return False
-        params = self._load(path)
         with self._lock:
             self._models[name] = (params, path, mtime)
         return True
@@ -231,6 +230,16 @@ class StylizeServer:
             if item is None:
                 return
             key, batch = item
+            # A caller that timed out may have cancelled its future while it
+            # was still queued; transition survivors to RUNNING (which also
+            # blocks further cancellation) and drop the cancelled ones —
+            # resolving a cancelled future raises InvalidStateError, which
+            # must never kill the worker.
+            batch = [
+                (im, fut) for im, fut in batch if fut.set_running_or_notify_cancel()
+            ]
+            if not batch:
+                continue
             images = np.stack([im for im, _ in batch])
             try:
                 params = (
@@ -241,9 +250,15 @@ class StylizeServer:
                 out = np.asarray(stylize(params, jnp.asarray(images)))
             except Exception as e:  # propagate compile/device failures per-request
                 for _, fut in batch:
-                    fut.set_exception(e)
+                    try:
+                        fut.set_exception(e)
+                    except InvalidStateError:
+                        pass
                 continue
             self.stats["batches"] += 1
             self.stats["images"] += len(batch)
             for i, (_, fut) in enumerate(batch):
-                fut.set_result(out[i])
+                try:
+                    fut.set_result(out[i])
+                except InvalidStateError:
+                    pass

@@ -108,6 +108,11 @@ def test_diffusion_cli_train_and_sample(cli_workspace):
         "--out", "models/diffusion/diff_model.npz",
     ])
     assert os.path.exists(model_path)
+    # the label-space sidecar pins class id -> artist for sample/eval
+    import json
+
+    with open(model_path + ".labels.json") as f:
+        assert json.load(f)["names"] == ["Alfred_Sisley"]
 
     out = main([
         "sample", "--model", model_path, "--artist", "Alfred_Sisley",
@@ -115,6 +120,15 @@ def test_diffusion_cli_train_and_sample(cli_workspace):
         "--base_channels", "32", "--out", "figs/dsamp.png",
     ])
     assert os.path.exists(out)
+
+    # conditioning on an artist outside the model's label space must fail
+    # loudly, not silently sample the wrong class (class-id space mismatch)
+    with pytest.raises(SystemExit):
+        main([
+            "sample", "--model", model_path, "--artist", "Claude_Monet",
+            "--num_samples", "1", "--image_size", "16", "--num_timesteps", "8",
+            "--base_channels", "32", "--out", "figs/dsamp2.png",
+        ])
 
     score = main([
         "eval", "--model", model_path, "--artist", "Alfred_Sisley",

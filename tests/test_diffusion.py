@@ -129,6 +129,36 @@ def test_diff_sample_shapes_and_guidance():
     assert not np.allclose(np.asarray(guided), o)  # guidance changes the samples
 
 
+def test_unet_rejects_indivisible_extent():
+    """H,W % 4 != 0 desyncs skip shapes; must fail with a clear error."""
+    params = init_diff_model(jax.random.key(0), num_classes=2, base_channels=32)
+    x = jnp.zeros((1, 50, 48, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divisible by 4"):
+        diff_model_apply(params, x, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+
+
+def test_diff_sample_separate_classifier_labels():
+    """classifier_y conditions guidance independently of the model's y."""
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+    params = init_diff_model(jax.random.key(0), num_classes=2, base_channels=32)
+    diffusion = GaussianDiffusion.make(num_timesteps=T)
+    clf = init_classifier_params(jax.random.key(2), num_classes=19)
+    y = jnp.asarray([0, 1], jnp.int32)
+    a = diff_sample(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW),
+        classifier_params=clf, guidance_scale=2.0,
+        classifier_y=jnp.asarray([3, 7], jnp.int32),
+    )
+    b = diff_sample(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW),
+        classifier_params=clf, guidance_scale=2.0,
+        classifier_y=jnp.asarray([11, 15], jnp.int32),
+    )
+    assert a.shape == (2, HW, HW, 3)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
 # --- Fréchet eval (CFID) ---------------------------------------------------
 
 

@@ -143,6 +143,24 @@ def test_errors(served):
         assert status == want, (path, status)
 
 
+def test_oversized_body_rejected_before_read(served):
+    """Content-Length above the cap -> 413 without reading the body."""
+    import http.client
+
+    base, _, _ = served
+    host = base.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    try:
+        conn.putrequest("POST", "/v1/stylize?model=renoir/random")
+        conn.putheader("Content-Length", str(65 << 20))  # claims 65 MiB
+        conn.endheaders()
+        conn.send(b"tiny")  # never sends the rest
+        resp = conn.getresponse()
+        assert resp.status == 413
+    finally:
+        conn.close()
+
+
 def test_reload_endpoint_and_hot_swap(tmp_path):
     from artist_style_transfer_tpu.train.checkpoint import save_params_npz
 

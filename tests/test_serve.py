@@ -206,6 +206,59 @@ def test_multitenant_server_routes_and_hot_reloads(tmp_path, params):
         srv.close()
 
 
+def test_cancelled_future_does_not_kill_worker(params):
+    """A caller cancelling its queued future must not wedge the batcher."""
+    rng = np.random.default_rng(9)
+    srv = StylizeServer(params, max_batch=4, max_wait_ms=50.0)
+    try:
+        # warm the compile so cancellation timing is deterministic
+        srv.submit(_img(rng, 16, 16)).result(timeout=240)
+        fut = srv.submit(_img(rng, 16, 16))
+        assert fut.cancel()  # still queued -> cancellable
+        # the worker must survive resolving that batch and keep serving
+        out = srv.submit(_img(rng, 16, 16)).result(timeout=240)
+        assert out.shape == (16, 16, 3)
+        assert fut.cancelled()
+    finally:
+        srv.close()
+
+
+def test_registry_reload_keeps_weights_on_transient_error(tmp_path):
+    """A half-written/missing checkpoint must not take down live serving."""
+    import os
+
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry
+    from artist_style_transfer_tpu.train.checkpoint import save_params_npz
+
+    p1 = init_transformer_params(jax.random.key(11))
+    path = str(tmp_path / "m.npz")
+    save_params_npz(path, p1)
+    reg = ModelRegistry(auto_reload=True)
+    reg.register("a", path=path)
+
+    os.remove(path)  # simulate the gap in a non-atomic rewrite
+    got = reg.get("a")  # auto-reload path must swallow the stat failure
+    np.testing.assert_array_equal(
+        np.asarray(got["encoder"][0]["w"]), np.asarray(p1["encoder"][0]["w"])
+    )
+    with open(path, "wb") as f:
+        f.write(b"not a real npz")  # half-written file
+    assert reg.reload("a", force=True) is False
+    np.testing.assert_array_equal(
+        np.asarray(reg.get("a")["encoder"][0]["w"]),
+        np.asarray(p1["encoder"][0]["w"]),
+    )
+
+    # a valid rewrite is picked up again afterwards
+    p2 = init_transformer_params(jax.random.key(12))
+    save_params_npz(path, p2)
+    assert reg.reload("a", force=True) is True
+    np.testing.assert_array_equal(
+        np.asarray(reg.get("a")["encoder"][0]["w"]),
+        np.asarray(p2["encoder"][0]["w"]),
+    )
+
+
 def test_server_ctor_validation(params):
     from artist_style_transfer_tpu.infer.serve import ModelRegistry
 

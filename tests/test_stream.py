@@ -41,6 +41,14 @@ def test_device_prefetch_keeps_bounded_buffer():
     assert len(rest) == 6 and len(pulled) == 8
 
 
+def test_device_prefetch_rejects_zero_buffer():
+    """buffer_size=0 would silently drop the whole dataset — must raise."""
+    import pytest
+
+    with pytest.raises(ValueError, match="buffer_size"):
+        device_prefetch(iter([np.zeros((1,), np.float32)]), buffer_size=0)
+
+
 def test_device_prefetch_applies_sharding():
     sharding = jax.sharding.NamedSharding(
         jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",)),
