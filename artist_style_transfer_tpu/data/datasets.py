@@ -267,22 +267,41 @@ def get_painting_dataset(
 
     npz_path = os.path.join(cache_dir, "paintings_cache.npz")
     dataset: dict[str, list[np.ndarray]] | None = None
+    rescaled: dict[str, np.ndarray] | None = None
     if load_pickle and os.path.exists(npz_path):
         z = np.load(npz_path, allow_pickle=False)
         loaded_names = [str(n) for n in z["names"]]
-        dataset = {}
         offsets = z["offsets"]
         images = z["images"]
-        for i, n in enumerate(loaded_names):
-            dataset[n] = list(images[offsets[i]: offsets[i + 1]])
+        ch, cw = int(images.shape[1]), int(images.shape[2])
+        want_h = rescale_height if rescale_height > 0 else ch
+        want_w = rescale_width if rescale_width > 0 else cw
+        if (want_h, want_w) == (ch, cw):
+            # The npz stores ALREADY-rescaled images at their final training
+            # shape (unlike the reference's full_int pickles, which hold the
+            # raw corpus). Reuse directly: feeding them back through
+            # get_rescale_dims' default avg//2 rule would halve them again on
+            # every round trip, and even a dims-matched reload would pay a
+            # full-corpus identity cv2.warpAffine for nothing.
+            rescaled = {
+                n: images[offsets[i]: offsets[i + 1]].astype(np.float32)
+                for i, n in enumerate(loaded_names)
+            }
+            th, tw = ch, cw
+        else:
+            # Explicit dims differing from the cached shape: re-rescale from
+            # the cached images (lossy vs the raw corpus, but cache-consistent).
+            dataset = {
+                n: list(images[offsets[i]: offsets[i + 1]])
+                for i, n in enumerate(loaded_names)
+            }
         if wordy:
             print("Loaded npz cache!")
     elif load_pickle:
         dataset = _load_reference_pickles(cache_dir)
         if dataset is not None and wordy:
             print("Loaded reference pickle cache!")
-    rescaled: dict[str, np.ndarray] | None = None
-    if dataset is None:
+    if dataset is None and rescaled is None:
         from artist_style_transfer_tpu.data import native_loader
 
         if (

@@ -76,6 +76,37 @@ def test_painting_dataset_decode_and_cache(workspace):
     assert np.abs(d2["Artist_One"] - d["Artist_One"]).max() <= 1.0
 
 
+def test_painting_dataset_cache_is_shape_stable_across_round_trips(workspace):
+    """The npz cache stores already-rescaled images: reloading with default
+    dims must NOT re-derive (and halve) the target shape, and re-saving must
+    leave the cache unchanged — no shrink-per-round-trip."""
+    kwargs = dict(
+        archive_dir=str(workspace / "images" / "archive") + "/",
+        cache_dir=str(workspace / "dicts") + "/",
+    )
+    d = get_painting_dataset(
+        for_classifier=False, load_pickle=False, save_pickle=True,
+        rescale_height=16, rescale_width=16, **kwargs,
+    )
+    # default dims (-1): the cached shape is authoritative, not avg//2 of it
+    d2 = get_painting_dataset(for_classifier=False, load_pickle=True, save_pickle=True, **kwargs)
+    assert d2["Artist_One"].shape == (2, 16, 16, 3)
+    np.testing.assert_array_equal(d2["Artist_One"], d["Artist_One"].astype(np.uint8))
+    # third round trip: still byte-identical (no cumulative warp drift)
+    d3 = get_painting_dataset(for_classifier=False, load_pickle=True, **kwargs)
+    np.testing.assert_array_equal(d3["Artist_One"], d2["Artist_One"])
+    # matching explicit dims reuse the cache directly too
+    d4 = get_painting_dataset(
+        for_classifier=False, load_pickle=True, rescale_height=16, rescale_width=16, **kwargs
+    )
+    np.testing.assert_array_equal(d4["Artist_One"], d2["Artist_One"])
+    # explicit differing dims re-rescale from the cached corpus
+    d5 = get_painting_dataset(
+        for_classifier=False, load_pickle=True, rescale_height=8, rescale_width=8, **kwargs
+    )
+    assert d5["Artist_One"].shape == (2, 8, 8, 3)
+
+
 def test_painting_dataset_reads_reference_pickles(workspace):
     rng = np.random.default_rng(3)
     data = {"Artist_One": [(rng.random((20, 20, 3)) * 255).astype(np.uint8)],
