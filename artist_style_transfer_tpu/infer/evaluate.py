@@ -40,7 +40,7 @@ def _eval_batch(params, clf_params, images_bgr_255: jax.Array) -> jax.Array:
 def evaluate_with_classifier(
     params,
     classifier_params,
-    content_images: np.ndarray,
+    content_images,
     artist_index: int,
     batch_size: int = 4,
     wordy: bool = True,
@@ -49,8 +49,12 @@ def evaluate_with_classifier(
 ) -> float:
     """Top-1 accuracy of the classifier recognizing the target artist.
 
-    ``content_images``: (N, H, W, 3) BGR [0,255]. Returns accuracy in %
-    rounded to 2 decimals, as the reference prints (inference.py:166).
+    ``content_images``: (N, H, W, 3) BGR [0,255], or a list of HWC images
+    of possibly different sizes — the reference's ``RESIZE_IMGS=False``
+    path evaluates raw sizes image-by-image (inference.py:93-98, :108);
+    here mixed sizes batch per exact (H, W) so each distinct shape costs
+    one compilation (same policy as ``stylize_batched``). Returns accuracy
+    in % rounded to 2 decimals, as the reference prints (inference.py:166).
 
     With ``mesh``, each batch is sharded over the mesh's data axis and the
     (replicated) params stay put — the eval pipeline scales across chips
@@ -66,16 +70,21 @@ def evaluate_with_classifier(
         classifier_params = jax.device_put(classifier_params, replicated_sharding(mesh))
     n = len(content_images)
     preds = np.zeros((n,), np.int64)
-    for i in range(0, n, batch_size):
-        chunk = content_images[i : i + batch_size]
-        pad = batch_size - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        chunk = jnp.asarray(chunk, jnp.float32)
-        if mesh is not None:
-            chunk = jax.device_put(chunk, batch_sharding(mesh))
-        p = np.asarray(_eval_batch(params, classifier_params, chunk))
-        preds[i : i + batch_size - pad] = p[: batch_size - pad]
+    by_shape: dict[tuple, list[int]] = {}
+    for i in range(n):
+        by_shape.setdefault(tuple(content_images[i].shape[:2]), []).append(i)
+    for idxs in by_shape.values():
+        for j in range(0, len(idxs), batch_size):
+            take = idxs[j : j + batch_size]
+            chunk = np.stack([content_images[i] for i in take])
+            pad = batch_size - len(take)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            chunk = jnp.asarray(chunk, jnp.float32)
+            if mesh is not None:
+                chunk = jax.device_put(chunk, batch_sharding(mesh))
+            p = np.asarray(_eval_batch(params, classifier_params, chunk))
+            preds[take] = p[: len(take)]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:
         for i, p in enumerate(preds):

@@ -126,10 +126,12 @@ def run_eval(args, params) -> float:
     print(f"Grabbed {len(content)} images!\n")  # inference.py:102
 
     index = ARTISTS_19.index(args.artist)
+    # Pass the (possibly mixed-size, under --no-resize_imgs) image list:
+    # evaluate_with_classifier groups by exact shape internally.
     return evaluate_with_classifier(
         params,
         clf_params,
-        np.stack(content).astype(np.float32),
+        [im.astype(np.float32) for im in content],
         index,
         artists=ARTISTS_19,
     )

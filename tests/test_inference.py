@@ -63,6 +63,27 @@ def test_evaluate_with_classifier_counts():
     assert 0.0 <= acc <= 100.0
 
 
+def test_evaluate_with_classifier_mixed_sizes():
+    """The --no-resize_imgs eval path hands over a list of different-size
+    images (reference inference.py:93-98 evaluates raw sizes); batching
+    groups by exact shape and predictions land at the right indices."""
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    rng = np.random.default_rng(3)
+    sizes = [(288, 288), (272, 288), (288, 288), (272, 288), (272, 288)]
+    content = [(rng.random((h, w, 3)) * 255).astype(np.float32) for h, w in sizes]
+    acc = evaluate_with_classifier(params, clf, content, artist_index=0, batch_size=2, wordy=False)
+    assert 0.0 <= acc <= 100.0
+    # shape-grouped batching must agree with one-by-one evaluation
+    per_image = [
+        evaluate_with_classifier(params, clf, [im], artist_index=0, batch_size=1, wordy=False)
+        for im in content
+    ]
+    assert abs(acc - float(np.mean(per_image))) < 1e-6
+
+
 def test_gatys_reduces_loss():
     from artist_style_transfer_tpu.train.gatys import gatys_stylize
 
