@@ -14,3 +14,8 @@ from artist_style_transfer_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from artist_style_transfer_tpu.parallel.distributed import (  # noqa: F401
+    initialize_multihost,
+    make_global,
+    per_host_batch_slice,
+)

@@ -13,6 +13,32 @@ from __future__ import annotations
 import os
 
 import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+def _cluster_detected() -> bool:
+    """True when the env shows a >1-process cluster for
+    ``jax.distributed.initialize()``'s built-in auto-detection to consume.
+
+    Presence of a marker alone is NOT enough: single-host TPU VMs (and this
+    repo's relayed single-chip environment) export ``TPU_WORKER_HOSTNAMES``
+    with one entry, and 1-task Slurm/MPI jobs export their vars too. A
+    no-arg ``initialize()`` on a genuinely single-process machine raises —
+    so the check demands evidence of multiple workers, keeping
+    ``initialize_multihost()`` a safe unconditional call from CLIs.
+    """
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    for count_var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(count_var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def initialize_multihost(
@@ -24,8 +50,10 @@ def initialize_multihost(
 
     No-ops (returns False) when single-process: safe to call unconditionally
     from CLIs. Env fallbacks: COORDINATOR_ADDRESS / NUM_PROCESSES /
-    PROCESS_ID (and the TPU auto-detection built into
-    ``jax.distributed.initialize`` when on a multi-host TPU slice).
+    PROCESS_ID. With neither args nor those env vars set, falls through to
+    ``jax.distributed.initialize()``'s own cluster auto-detection whenever a
+    recognized cluster env marker (multi-host TPU / Slurm / OpenMPI) is
+    present — the standard no-arg recipe on a pod slice.
     """
     coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if num_processes is None and "NUM_PROCESSES" in os.environ:
@@ -34,13 +62,37 @@ def initialize_multihost(
         process_id = int(os.environ["PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        return False
+        if not _cluster_detected():
+            return False
+        jax.distributed.initialize()  # cluster auto-detection
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
     return jax.process_count() > 1
+
+
+def make_global(mesh, tree, spec: P = P()):
+    """Lift host-local arrays in ``tree`` to global arrays on ``mesh``.
+
+    Under a multi-process mesh, jit inputs must be *global* ``jax.Array``s;
+    committed single-device arrays (e.g. outputs of earlier host-local jits,
+    like the precomputed content features) are rejected with "incompatible
+    devices". This wraps ``jax.make_array_from_process_local_data``: each
+    process contributes its local part per ``spec`` (with the default
+    replicated spec, every process passes the same full array — the corpus /
+    params case). Single-process meshes (or ``mesh=None``) pass through
+    untouched, so callers can apply it unconditionally.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return tree
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, np.asarray(a)),
+        tree,
+    )
 
 
 def per_host_batch_slice(global_batch: int) -> tuple[int, int]:
