@@ -196,6 +196,19 @@ def train(
             second=os.path.basename(prefix).startswith("transfer2"),
         )
 
+    # --- Multi-host: lift everything entering the global-mesh jit (directly
+    # or closed into the step fns) to global replicated arrays. Committed
+    # host-local arrays are rejected by a multi-process jit; passthrough
+    # unless jax.process_count() > 1, so single-process meshes are untouched.
+    if mesh is not None:
+        from artist_style_transfer_tpu.parallel.distributed import make_global
+
+        vgg_params = make_global(mesh, vgg_params)
+        classifier_params = make_global(mesh, classifier_params)
+        targets.grams = make_global(mesh, targets.grams)
+        targets.labels = make_global(mesh, targets.labels)
+        content_data = make_global(mesh, content_data)
+
     # --- Optimizer + compiled epoch ----------------------------------------
     # ceil: the ragged final batch is kept, like the reference DataLoader
     # (train_cnn.py:170); it counts as a step for the LR schedule too.
@@ -245,6 +258,12 @@ def train(
                 n = min(len(prev), num_epochs)
                 losses[:n] = prev[:n]
             log.log("resumed", checkpoint=path, epoch=start_epoch)
+
+    if mesh is not None:
+        # (passthrough when single-process; see make_global above)
+        params = make_global(mesh, params)
+        opt_state = make_global(mesh, opt_state)
+        content_r22 = make_global(mesh, content_r22)
 
     grams = targets.grams
     labels = targets.labels

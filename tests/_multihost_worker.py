@@ -1,0 +1,69 @@
+"""Worker process for the two-process multi-host training test.
+
+Run as: ``python tests/_multihost_worker.py <port> <process_id>``.
+
+Each of the two processes exposes 4 virtual CPU devices; jax.distributed
+joins them into one 8-device global mesh (collectives over gloo). The
+worker then runs the full ``train()`` path — exercising
+``parallel.distributed.make_global``'s host-local -> global array lifting,
+which a multi-process jit requires. Process 0 prints the loss trajectory
+for the parent test to compare against a single-process run.
+"""
+
+import os
+import sys
+
+port, pid = sys.argv[1], int(sys.argv[2])
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# The container's sitecustomize may have pre-initialized a backend; drop it
+# so the distributed client attaches before backend creation.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._clear_backends()
+
+from artist_style_transfer_tpu.parallel.distributed import initialize_multihost  # noqa: E402
+
+assert initialize_multihost(f"localhost:{port}", 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.local_device_count() == 4, jax.local_devices()
+assert jax.device_count() == 8, jax.devices()
+
+import numpy as np  # noqa: E402
+
+from artist_style_transfer_tpu.models.vgg import init_vgg16_params  # noqa: E402
+from artist_style_transfer_tpu.parallel import make_mesh  # noqa: E402
+from artist_style_transfer_tpu.train.api import train  # noqa: E402
+
+# Deterministic inputs — identical on both processes (replicated lift).
+rng = np.random.default_rng(0)
+content = (rng.random((16, 32, 32, 3)) * 255).astype(np.float32)
+paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
+vgg_params = init_vgg16_params(jax.random.key(1))
+
+mesh = make_mesh(shape=(8,))
+_, losses = train(
+    style_method="cycle",
+    artist="X",
+    num_epochs=2,
+    batch_size=8,
+    content_data_size=16,
+    seed=0,
+    num_steps=2,
+    lr=1e-3,
+    model_dir="",
+    wordy=False,
+    content_images=content,
+    paintings=paintings,
+    vgg_params=vgg_params,
+    mesh=mesh,
+    export_pth=False,
+)
+if pid == 0:
+    print("LOSSES " + ",".join(f"{v:.8e}" for v in np.asarray(losses).ravel()))
+print(f"WORKER_{pid}_DONE")

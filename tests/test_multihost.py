@@ -1,0 +1,88 @@
+"""Two-process multi-host DP training over DCN-style jax.distributed.
+
+SURVEY §4's "fake multi-node backend", taken one step further than the
+8-virtual-device single-process mesh: two real OS processes, each with 4
+virtual CPU devices, joined by ``jax.distributed`` into one 8-device global
+mesh (cross-process collectives over gloo). The full ``train()`` path runs
+under it — validating that every array entering the global-mesh jit is
+lifted to a global jax.Array (``parallel.distributed.make_global``) and
+that the trajectory matches a single-process run of identical data.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_trajectory_matches_single_process():
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(WORKER))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(i)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(WORKER)),
+        )
+        for i in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER_{i}_DONE" in out
+    loss_line = [l for l in outs[0].splitlines() if l.startswith("LOSSES ")]
+    assert loss_line, outs[0]
+    multi = np.array([float(v) for v in loss_line[0][len("LOSSES "):].split(",")])
+
+    # Single-process reference on identical data (mesh=None, same seeds).
+    from artist_style_transfer_tpu.models.vgg import init_vgg16_params
+    from artist_style_transfer_tpu.train.api import train
+
+    rng = np.random.default_rng(0)
+    content = (rng.random((16, 32, 32, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    _, losses = train(
+        style_method="cycle",
+        artist="X",
+        num_epochs=2,
+        batch_size=8,
+        content_data_size=16,
+        seed=0,
+        num_steps=2,
+        lr=1e-3,
+        model_dir="",
+        wordy=False,
+        content_images=content,
+        paintings=paintings,
+        vgg_params=vgg_params,
+        mesh=None,
+        export_pth=False,
+    )
+    single = np.asarray(losses).ravel()
+    # Cross-process all-reduce changes the gradient reduction order; the
+    # trajectory should agree to float32 accumulation noise, not bitwise.
+    np.testing.assert_allclose(multi, single, rtol=2e-4)
