@@ -278,6 +278,12 @@ def train(
         # a later resume=True call continues seamlessly.
         end_epoch = min(num_epochs, start_epoch + max_epochs_this_run)
     profiling = False
+    # Streaming mode: the step counter advances by the ACTUAL number of
+    # streamed batches (which may differ from the content_data_size-derived
+    # steps_per_epoch), so 'cycle' Gram indices never repeat or skip across
+    # epochs. Resume seeds it from the nominal count (best effort — stream
+    # lengths of past runs are unknown).
+    stream_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, end_epoch):
         if profile_dir and epoch == start_epoch + 1 and not profiling:
             # Trace the second epoch (first includes compilation) —
@@ -285,17 +291,19 @@ def train(
             jax.profiler.start_trace(profile_dir)
             profiling = True
         t_ep = time.time()
-        base_step = jnp.int32(epoch * steps_per_epoch)
         if content_stream is not None:
-            params, opt_state, step_losses = _run_stream_epoch(
-                fns, params, opt_state, content_stream, epoch, base_step,
-                grams, labels, mesh,
+            params, opt_state, step_losses, epoch_images = _run_stream_epoch(
+                fns, params, opt_state, content_stream, epoch,
+                jnp.int32(stream_step), grams, labels, mesh,
             )
+            stream_step += len(step_losses)
         else:
+            base_step = jnp.int32(epoch * steps_per_epoch)
             perm = epoch_permutation(seed, epoch, n_content)
             params, opt_state, step_losses = fns.epoch_fn(
                 params, opt_state, content_data, content_r22, grams, labels, perm, base_step
             )
+            epoch_images = n_content  # exact even with a ragged tail batch
         step_losses = np.asarray(jax.device_get(step_losses), np.float64)
         el = step_losses.sum(axis=0)
         if profiling:
@@ -308,7 +316,9 @@ def train(
             # BATCH_INFO_EVERY batches, train_cnn.py:355-357). The scan
             # already stacks per-step losses, so this costs nothing extra
             # on device; a NaN step is identifiable from metrics.jsonl.
-            for s in range(0, steps_per_epoch, log_every_batches):
+            # range over the ACTUAL step count — a streamed epoch may run
+            # more or fewer batches than the nominal steps_per_epoch.
+            for s in range(0, len(step_losses), log_every_batches):
                 log.log(
                     "batch",
                     epoch=epoch + 1,
@@ -326,9 +336,9 @@ def train(
             style_loss=float(el[1]),
             total_loss=float(el[2]),
             secs=round(dt, 3),
-            images_per_sec=round(steps_per_epoch * batch_size / dt, 1),
+            images_per_sec=round(epoch_images / dt, 1),
         )
-        if prefix is not None and epoch % save_every == 0:
+        if prefix is not None and save_every and epoch % save_every == 0:
             ckpt.save_checkpoint(prefix, epoch, params, opt_state, losses, completed_epochs=epoch + 1)
         if (
             prefix is not None and preview_every and epoch % preview_every == 0
@@ -424,8 +434,10 @@ def _run_stream_epoch(
 
         sharding = batch_sharding(mesh)
     out = []
+    n_images = 0
     batches = (np.asarray(b, np.float32) for b in content_stream(epoch))
     for i, batch in enumerate(device_prefetch(batches, buffer_size=2, sharding=sharding)):
+        n_images += int(batch.shape[0])
         params, opt_state, l3 = fns.stream_step_fn(
             params, opt_state, batch, grams, labels, base_step + i
         )
@@ -433,7 +445,7 @@ def _run_stream_epoch(
     if not out:
         raise ValueError(f"content_stream yielded no batches for epoch {epoch}")
     losses = np.stack([np.asarray(jax.device_get(l)) for l in out])
-    return params, opt_state, losses
+    return params, opt_state, losses, n_images
 
 
 def _save_style_jpg(directory: str, image_bgr_255: np.ndarray, second: bool = False) -> None:

@@ -43,7 +43,7 @@ from artist_style_transfer_tpu.ops.losses import (
     style_loss_gram,
 )
 from artist_style_transfer_tpu.parallel.mesh import shard_batch
-from artist_style_transfer_tpu.train.styles import StyleTargets
+from artist_style_transfer_tpu.train.styles import StyleTargets, select_step_grams
 
 
 def make_optimizer(
@@ -170,14 +170,9 @@ def make_step_fns(
             )
             s_loss = style_weight * cross_entropy_loss(logits, labels)
         else:
-            if mode == "cycle":
-                idx = jnp.mod(step, targets.num_cycle)
-                step_grams = {
-                    k: jax.lax.dynamic_index_in_dim(v, idx, 0, keepdims=False)
-                    for k, v in grams.items()
-                }
-            else:
-                step_grams = grams
+            step_grams = select_step_grams(
+                grams, step, targets.num_cycle if mode == "cycle" else 0
+            )
             s_loss = style_weight * style_loss_gram(
                 gen_feats, step_grams, use_pallas=use_pallas
             )

@@ -45,13 +45,28 @@ class StyleTargets:
 
     def gram_for_step(self, step: jax.Array) -> dict[str, jax.Array]:
         """Select this step's target Grams (jit-safe dynamic index for 'cycle')."""
-        if self.mode != "cycle":
-            return self.grams
-        idx = jnp.mod(step, self.num_cycle)
-        return {
-            k: jax.lax.dynamic_index_in_dim(v, idx, axis=0, keepdims=False)
-            for k, v in self.grams.items()
-        }
+        return select_step_grams(
+            self.grams, step, self.num_cycle if self.mode == "cycle" else 0
+        )
+
+
+def select_step_grams(
+    grams: dict[str, jax.Array], step: jax.Array, num_cycle: int
+) -> dict[str, jax.Array]:
+    """This step's target Grams: for 'cycle' (``num_cycle > 0``) dynamic-index
+    the per-tap (P, C, C) stacks by ``step % P`` (jit-safe), else pass through.
+
+    The single source of the cycle-selection rule — both
+    :meth:`StyleTargets.gram_for_step` and the training loss (which receives
+    ``grams`` as a jit argument rather than through ``self``) call this.
+    """
+    if not num_cycle:
+        return grams
+    idx = jnp.mod(step, num_cycle)
+    return {
+        k: jax.lax.dynamic_index_in_dim(v, idx, axis=0, keepdims=False)
+        for k, v in grams.items()
+    }
 
 
 def _grams_of_image(vgg_params, image_bgr_255: jax.Array) -> dict[str, jax.Array]:

@@ -103,6 +103,42 @@ def test_streaming_trajectory_matches_resident():
         assert np.sqrt((d * d).mean()) < 1.5 * lr, "RMS param drift exceeds update scale"
 
 
+def test_streaming_short_epoch_logs_and_counts_actual_batches(tmp_path):
+    """A stream shorter than the nominal content_data_size/batch_size step
+    count must not break per-batch logging (indexing is over the ACTUAL
+    step count) and throughput must count actually-processed images."""
+    import json
+
+    from artist_style_transfer_tpu.train import train
+
+    rng = np.random.default_rng(13)
+    content = (rng.random((4, H, W, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    vgg_params = init_vgg16_params(jax.random.key(1))
+
+    def stream(epoch):
+        yield content[:2]
+        yield content[2:]
+
+    _, losses = train(
+        style_method="random", artist="A", num_epochs=2, batch_size=2,
+        content_data_size=64,  # nominal steps_per_epoch=32 >> the 2 streamed
+        seed=2, paintings=paintings, vgg_params=vgg_params,
+        export_pth=False, wordy=False, use_pallas=False,
+        model_dir=str(tmp_path), content_stream=stream,
+        log_every_batches=1, save_every=0,  # save_every=0 disables mid-run ckpts
+    )
+    assert np.all(np.isfinite(losses))
+    metrics = [
+        json.loads(l)
+        for l in open(tmp_path / "A" / "random" / "metrics.jsonl")
+    ]
+    batch_logs = [m for m in metrics if m["event"] == "batch"]
+    assert len(batch_logs) == 4  # 2 actual batches x 2 epochs, not 32
+    epoch_logs = [m for m in metrics if m["event"] == "epoch"]
+    assert len(epoch_logs) == 2
+
+
 def test_streaming_sharded_over_mesh():
     """Streamed batches shard over the data mesh and losses stay finite."""
     from artist_style_transfer_tpu.parallel import make_mesh
