@@ -15,3 +15,4 @@ from artist_style_transfer_tpu.data.datasets import (  # noqa: F401
     rescale_image,
 )
 from artist_style_transfer_tpu.data.prefetch import device_prefetch  # noqa: F401
+from artist_style_transfer_tpu.data.stream import content_file_stream  # noqa: F401

@@ -33,6 +33,16 @@ def _device_prefetch_gen(batches, buffer_size, sharding):
 
     def put(batch):
         if sharding is not None:
+            if not sharding.is_fully_addressable:
+                # Multi-process mesh: each process's stream yields its
+                # host-local slice of the global batch (per-host sharded
+                # reads, SURVEY §5); assemble them into one global array.
+                # device_put rejects shardings with non-addressable devices.
+                import numpy as np
+
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(batch)
+                )
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)
 

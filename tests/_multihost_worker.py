@@ -1,6 +1,6 @@
-"""Worker process for the two-process multi-host training test.
+"""Worker process for the two-process multi-host training tests.
 
-Run as: ``python tests/_multihost_worker.py <port> <process_id>``.
+Run as: ``python tests/_multihost_worker.py <port> <process_id> [mode]``.
 
 Each of the two processes exposes 4 virtual CPU devices; jax.distributed
 joins them into one 8-device global mesh (collectives over gloo). The
@@ -8,12 +8,18 @@ worker then runs the full ``train()`` path — exercising
 ``parallel.distributed.make_global``'s host-local -> global array lifting,
 which a multi-process jit requires. Process 0 prints the loss trajectory
 for the parent test to compare against a single-process run.
+
+``mode='stream'`` trains from a content_stream instead of a resident
+corpus: each process yields its HOST-LOCAL slice of every global batch
+(per-host sharded reads, SURVEY §5) and ``device_prefetch`` assembles the
+slices into global arrays via ``make_array_from_process_local_data``.
 """
 
 import os
 import sys
 
 port, pid = sys.argv[1], int(sys.argv[2])
+mode = sys.argv[3] if len(sys.argv) > 3 else "resident"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -47,7 +53,7 @@ paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
 vgg_params = init_vgg16_params(jax.random.key(1))
 
 mesh = make_mesh(shape=(8,))
-_, losses = train(
+kwargs = dict(
     style_method="cycle",
     artist="X",
     num_epochs=2,
@@ -58,12 +64,26 @@ _, losses = train(
     lr=1e-3,
     model_dir="",
     wordy=False,
-    content_images=content,
     paintings=paintings,
     vgg_params=vgg_params,
     mesh=mesh,
     export_pth=False,
 )
+if mode == "stream":
+    from artist_style_transfer_tpu.parallel import per_host_batch_slice
+
+    host_batch, offset = per_host_batch_slice(8)
+    assert (host_batch, offset) == (4, 4 * pid), (host_batch, offset)
+
+    def stream(epoch):
+        # Fixed order (streams define their own order); this process
+        # contributes rows [offset, offset+host_batch) of each global batch.
+        for s in range(0, 16, 8):
+            yield content[s : s + 8][offset : offset + host_batch]
+
+    _, losses = train(content_stream=stream, **kwargs)
+else:
+    _, losses = train(content_images=content, **kwargs)
 if pid == 0:
     print("LOSSES " + ",".join(f"{v:.8e}" for v in np.asarray(losses).ravel()))
 print(f"WORKER_{pid}_DONE")

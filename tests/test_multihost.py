@@ -28,8 +28,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_trajectory_matches_single_process():
+def _run_two_process(mode: str) -> np.ndarray:
+    """Launch the two workers; return process 0's loss trajectory."""
     port = _free_port()
     repo_root = os.path.dirname(os.path.dirname(WORKER))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
@@ -37,12 +37,12 @@ def test_two_process_trajectory_matches_single_process():
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(i)],
+            [sys.executable, WORKER, str(port), str(i), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
-            cwd=os.path.dirname(os.path.dirname(WORKER)),
+            cwd=repo_root,
         )
         for i in (0, 1)
     ]
@@ -55,7 +55,12 @@ def test_two_process_trajectory_matches_single_process():
         assert f"WORKER_{i}_DONE" in out
     loss_line = [l for l in outs[0].splitlines() if l.startswith("LOSSES ")]
     assert loss_line, outs[0]
-    multi = np.array([float(v) for v in loss_line[0][len("LOSSES "):].split(",")])
+    return np.array([float(v) for v in loss_line[0][len("LOSSES "):].split(",")])
+
+
+@pytest.mark.slow
+def test_two_process_trajectory_matches_single_process():
+    multi = _run_two_process("resident")
 
     # Single-process reference on identical data (mesh=None, same seeds).
     from artist_style_transfer_tpu.models.vgg import init_vgg16_params
@@ -85,4 +90,46 @@ def test_two_process_trajectory_matches_single_process():
     single = np.asarray(losses).ravel()
     # Cross-process all-reduce changes the gradient reduction order; the
     # trajectory should agree to float32 accumulation noise, not bitwise.
+    np.testing.assert_allclose(multi, single, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_streaming_matches_single_process_stream():
+    """Streaming corpora under a multi-process mesh: each process yields its
+    host-local slice of every global batch; device_prefetch lifts the slices
+    to global arrays (make_array_from_process_local_data — plain device_put
+    rejects non-fully-addressable shardings). Trajectory must match a
+    single-process streaming run over the same global batches."""
+    multi = _run_two_process("stream")
+
+    from artist_style_transfer_tpu.models.vgg import init_vgg16_params
+    from artist_style_transfer_tpu.train.api import train
+
+    rng = np.random.default_rng(0)
+    content = (rng.random((16, 32, 32, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
+    vgg_params = init_vgg16_params(jax.random.key(1))
+
+    def stream(epoch):
+        for s in range(0, 16, 8):
+            yield content[s : s + 8]
+
+    _, losses = train(
+        style_method="cycle",
+        artist="X",
+        num_epochs=2,
+        batch_size=8,
+        content_data_size=16,
+        seed=0,
+        num_steps=2,
+        lr=1e-3,
+        model_dir="",
+        wordy=False,
+        content_stream=stream,
+        paintings=paintings,
+        vgg_params=vgg_params,
+        mesh=None,
+        export_pth=False,
+    )
+    single = np.asarray(losses).ravel()
     np.testing.assert_allclose(multi, single, rtol=2e-4)

@@ -60,6 +60,90 @@ def test_device_prefetch_applies_sharding():
     assert all(len(o.sharding.device_set) == 4 for o in outs)
 
 
+def test_content_file_stream(tmp_path):
+    """Deterministic per-(seed, epoch) order; per-host slices concatenate to
+    the single-process global batches; ragged-tail policy; decode failures
+    raise (a silent skip would desynchronize hosts)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from artist_style_transfer_tpu.data.stream import content_file_stream
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "content"
+    d.mkdir()
+    for i in range(7):
+        cv2.imwrite(str(d / f"c{i}.jpg"), (rng.random((20, 24, 3)) * 255).astype(np.uint8))
+
+    # single process: 7 files, global batch 4 -> one full batch + dropped
+    # ragged 3 under 2 procs (3 % 2 != 0), kept under 1 proc
+    s1 = content_file_stream(str(d), 4, 16, 16, seed=3, _procs=(1, 0))
+    b1 = list(s1(0))
+    assert [b.shape for b in b1] == [(4, 16, 16, 3), (3, 16, 16, 3)]
+    # deterministic per (seed, epoch); different epochs reorder
+    again = list(s1(0))
+    for a, b in zip(b1, again):
+        np.testing.assert_array_equal(a, b)
+    other = np.concatenate(list(s1(1)))
+    assert not np.array_equal(np.concatenate(b1), other)
+    assert np.array_equal(
+        np.sort(np.concatenate(b1).ravel()), np.sort(other.ravel())
+    )  # same multiset of pixels, different order
+
+    # two processes: host slices concatenate to the global batch
+    with pytest.warns(UserWarning, match="ragged"):
+        h0 = content_file_stream(str(d), 4, 16, 16, seed=3, _procs=(2, 0))
+    with pytest.warns(UserWarning, match="ragged"):
+        h1 = content_file_stream(str(d), 4, 16, 16, seed=3, _procs=(2, 1))
+    g0, g1 = list(h0(0)), list(h1(0))
+    assert len(g0) == len(g1) == 1  # ragged 3 dropped for 2 procs
+    np.testing.assert_array_equal(np.concatenate([g0[0], g1[0]]), b1[0])
+
+    # content_data_size caps the corpus stably across epochs
+    s_cap = content_file_stream(
+        str(d), 2, 16, 16, seed=3, content_data_size=4, _procs=(1, 0)
+    )
+    assert sum(b.shape[0] for b in s_cap(0)) == 4
+    cap_pixels = np.sort(np.concatenate(list(s_cap(0))).ravel())
+    np.testing.assert_array_equal(
+        cap_pixels, np.sort(np.concatenate(list(s_cap(2))).ravel())
+    )
+
+    # undecodable file raises (no silent skip)
+    (d / "junk.jpg").write_bytes(b"nope")
+    s_bad = content_file_stream(str(d), 4, 16, 16, seed=3, _procs=(1, 0))
+    with pytest.raises(RuntimeError, match="undecodable"):
+        for _ in range(3):  # junk lands in one of the epoch's batches
+            list(s_bad(0))
+
+
+def test_train_with_content_file_stream(tmp_path):
+    """End-to-end: train() over a directory-backed stream."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from artist_style_transfer_tpu.data.stream import content_file_stream
+    from artist_style_transfer_tpu.train import train
+
+    rng = np.random.default_rng(6)
+    d = tmp_path / "content"
+    d.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(d / f"c{i}.jpg"), (rng.random((40, 40, 3)) * 255).astype(np.uint8))
+    paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
+    vgg_params = init_vgg16_params(jax.random.key(1))
+
+    _, losses = train(
+        style_method="random", artist="A", num_epochs=2, batch_size=2,
+        content_data_size=4, seed=2, paintings=paintings,
+        vgg_params=vgg_params, export_pth=False, wordy=False,
+        use_pallas=False, model_dir=None,
+        content_stream=content_file_stream(str(d), 2, H, W, seed=2),
+    )
+    assert np.all(np.isfinite(losses))
+    assert losses[-1, 2] < losses[0, 2]
+
+
 def test_streaming_trajectory_matches_resident():
     """train(content_stream=...) reproduces the resident-corpus trajectory
     (same permuted batches, incl. the ragged final batch)."""
