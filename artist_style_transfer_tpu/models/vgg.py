@@ -14,8 +14,11 @@ models/vgg16-00b39a1b.pth, train_cnn.py:51).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from artist_style_transfer_tpu.ops.conv import (
     conv2d,
@@ -28,6 +31,15 @@ from artist_style_transfer_tpu.ops.conv import (
 from artist_style_transfer_tpu.ops.precision import get_precision
 
 VGG_LAYER_NAMES = ("relu1_2", "relu2_2", "relu3_3", "relu4_3")
+
+# Batch->H folding (fast-mode training path): zero separator rows inserted
+# between images when the batch is folded into the H axis for the C<128
+# shallow blocks. FOLD_SEP rows at full resolution (split half above / half
+# below each image), FOLD_SEP//2 at the 112-res block — so relu1_2 taps are
+# (N, H+FOLD_SEP, W, 64) and relu2_2 taps (N, H//2+FOLD_SEP//2, W//2, 128).
+FOLD_SEP = 8
+# Fold pad rows per tap name (0 = tap is never folded).
+FOLD_PAD = {"relu1_2": FOLD_SEP, "relu2_2": FOLD_SEP // 2, "relu3_3": 0, "relu4_3": 0}
 
 # Conv stack through relu4_3: (in_ch, out_ch) per 3x3/1 pad-1 conv; "M" = 2x2/2 maxpool.
 # torchvision vgg16.features indices of these convs: 0,2, 5,7, 10,12,14, 17,19,21.
@@ -59,10 +71,106 @@ def init_vgg16_params(key: jax.Array) -> list[dict]:
     return params
 
 
+@_functools.lru_cache(maxsize=None)
+def _fold_mask_np(n: int, h: int, sep: int):
+    """(n*(h+sep), 1) 0/1 row mask: content rows at i*(h+sep) + sep//2."""
+    b = h + sep
+    m = np.zeros((n * b, 1), np.float32)
+    for i in range(n):
+        m[i * b + sep // 2 : i * b + sep // 2 + h] = 1.0
+    return m
+
+
+def _fold_mask(n: int, h: int, sep: int, dtype) -> jax.Array:
+    return jnp.asarray(_fold_mask_np(n, h, sep).astype(dtype))[None, :, :, None]
+
+
+def _vgg16_features_folded(
+    params: list[dict], x: jax.Array, just_content: bool
+) -> dict[str, jax.Array] | jax.Array:
+    """The conv1/conv2 blocks with the batch folded into H (fast mode).
+
+    At C<128 XLA assigns N-minor (batch-in-lanes) conv layouts, and every
+    non-conv consumer (gram dots, pool reshapes) pays full-tensor layout
+    copies to get a C-minor layout back — the round-2 op profile attributed
+    ~23 ms/step of a 154 ms 'cycle' train step to the relu1_2 cluster alone.
+    Folding the batch into H with ``FOLD_SEP`` zero separator rows per image
+    makes these convs batch-1 (N-minor impossible) while staying exact: the
+    zero rows ARE each image's SAME zero padding (VGG convs are zero-padded,
+    torchvision vgg16 / reference train_cnn.py:50-78), and masking the
+    separator rows after each conv restores them to zero before they are
+    read as padding by the next one.
+
+    Returned relu1_2/relu2_2 taps KEEP the zero separator rows
+    (``FOLD_PAD[name]`` extra H rows): Gram sums are unaffected by zero rows,
+    and the style/content losses rescale their mean-normalizations by the
+    true row count (see ops.losses). relu3_3/relu4_3 continue unfolded after
+    a quarter-resolution slice at pool2.
+    """
+    n, h, w, _ = x.shape
+    taps: dict[str, jax.Array] = {}
+    fold = FOLD_SEP
+    b1 = h + fold
+    m1 = _fold_mask(n, h, fold, x.dtype)
+    xf = jnp.pad(x, ((0, 0), (fold // 2, fold // 2), (0, 0), (0, 0)))
+    xf = xf.reshape(1, n * b1, w, x.shape[3])
+    y = relu_fast(conv2d_frozen_smallcin(xf, params[0]["w"], params[0]["b"], 1) * m1)
+    pre = conv2d(y, params[1]["w"], params[1]["b"], stride=1, padding=1)
+    pre = (pre * m1).reshape(n, b1, w, 64)
+    tap1, pool1 = relu_max_pool2x2_fast(pre)
+    taps["relu1_2"] = tap1  # folded: (n, h+FOLD_SEP, w, 64)
+
+    h2, w2, b2 = h // 2, w // 2, b1 // 2
+    m2 = _fold_mask(n, h2, fold // 2, x.dtype)
+    y = pool1.reshape(1, n * b2, w2, 64)
+    y = relu_fast(conv2d(y, params[2]["w"], params[2]["b"], stride=1, padding=1) * m2)
+    pre = conv2d(y, params[3]["w"], params[3]["b"], stride=1, padding=1)
+    pre = pre * m2
+    if just_content:
+        # relu2_2 only (reference train_cnn.py:64-68), folded.
+        return relu_fast(pre).reshape(n, b2, w2, 128)
+    pre = pre.reshape(n, b2, w2, 128)
+    tap2, pool2 = relu_max_pool2x2_fast(pre)
+    taps["relu2_2"] = tap2  # folded: (n, h//2+FOLD_SEP//2, w//2, 128)
+
+    # Unfold at quarter resolution (cheap: C=128 from here on, no pathology)
+    # and continue with the standard composition for blocks 3-4. Content
+    # rows sit at fold//2 at full res, fold//4 at half, fold//8 at quarter.
+    x = pool2[:, fold // 8 : fold // 8 + h // 4]
+    relu = relu_fast
+    conv_i = 4
+    i = 6  # _VGG_CFG index of conv3_1 (after (3,64),(64,64),"M",(64,128),(128,128),"M")
+    while i < len(_VGG_CFG):
+        c = _VGG_CFG[i]
+        if c == "M":
+            x = max_pool2d_2x2_fast(x) if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0 else max_pool2d(x, 2, 2)
+            i += 1
+            continue
+        p = params[conv_i]
+        name = _TAP_AFTER_CONV.get(conv_i)
+        pre = conv2d(x, p["w"], p["b"], stride=1, padding=1)
+        if i + 1 < len(_VGG_CFG) and _VGG_CFG[i + 1] == "M" and pre.shape[1] % 2 == 0 and pre.shape[2] % 2 == 0:
+            tap, x = relu_max_pool2x2_fast(pre)
+            i += 2
+        else:
+            tap = x = relu(pre)
+            i += 1
+        if name is not None:
+            taps[name] = tap
+        conv_i += 1
+    return taps
+
+
+def fold_batch_ok(x_shape) -> bool:
+    """Folding needs H % 4 == 0 (pool alignment at both folded blocks)."""
+    return x_shape[1] % 4 == 0 and x_shape[2] % 4 == 0
+
+
 def vgg16_features(
     params: list[dict],
     x: jax.Array,
     just_content: bool = False,
+    fold_batch: bool = False,
 ) -> dict[str, jax.Array] | jax.Array:
     """Run the truncated VGG16 stack; returns the 4 tap activations (or relu2_2 only).
 
@@ -72,6 +180,8 @@ def vgg16_features(
     """
     taps: dict[str, jax.Array] = {}
     fast = get_precision() != "highest"
+    if fold_batch and fast and fold_batch_ok(x.shape):
+        return _vgg16_features_folded(params, x, just_content)
     relu = relu_fast if fast else jax.nn.relu
     conv_i = 0
     i = 0

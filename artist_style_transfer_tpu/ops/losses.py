@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from artist_style_transfer_tpu.models.vgg import VGG_LAYER_NAMES
+from artist_style_transfer_tpu.models.vgg import FOLD_PAD, VGG_LAYER_NAMES
 from artist_style_transfer_tpu.ops.gram import gram_matrix
 
 
@@ -32,6 +32,7 @@ def content_loss(
     gen_relu2_2: jax.Array,
     content_relu2_2: jax.Array,
     use_pallas: str | bool = "auto",
+    folded: bool = False,
 ) -> jax.Array:
     """Perceptual content loss: MSE over relu2_2 feature maps.
 
@@ -41,9 +42,21 @@ def content_loss(
     gathered content features and a layout copy, where XLA fuses the
     corpus gather straight into the reduction. ``use_pallas`` is accepted
     for API stability and ignored.
+
+    ``folded=True``: ``gen_relu2_2`` comes from the batch->H-folded VGG
+    (models.vgg._vgg16_features_folded) and carries FOLD_PAD['relu2_2'] zero
+    separator rows; the unfolded target is zero-padded to align (the folded
+    rows are exactly zero, so the padded positions contribute nothing) and
+    the mean is rescaled to the true element count — numerically identical
+    to the unfolded MSE.
     """
     del use_pallas
-    return mse(gen_relu2_2, content_relu2_2)
+    if not folded:
+        return mse(gen_relu2_2, content_relu2_2)
+    pad = FOLD_PAD["relu2_2"]
+    rows_f = gen_relu2_2.shape[1]
+    tgt = jnp.pad(content_relu2_2, ((0, 0), (pad // 2, pad // 2), (0, 0), (0, 0)))
+    return mse(gen_relu2_2, tgt) * (rows_f / (rows_f - pad))
 
 
 def np_prod(xs) -> int:
@@ -57,6 +70,7 @@ def style_loss_gram(
     gen_features: dict[str, jax.Array],
     target_grams: dict[str, jax.Array],
     use_pallas: str | bool = "auto",
+    folded: bool = False,
 ) -> jax.Array:
     """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
 
@@ -88,6 +102,12 @@ def style_loss_gram(
         # residual fusion saved only a (N,C,C)-sized pass but constrained
         # scheduling around the big contraction.
         g = gram_matrix(feats, use_pallas=use_pallas)
+        if folded and FOLD_PAD[name]:
+            # Folded taps carry FOLD_PAD zero separator rows: the Gram SUM is
+            # unaffected (zero rows contribute zero) but gram_matrix's
+            # 1/(C*H*W) used the folded row count — rescale to the true one.
+            rows_f = feats.shape[1]
+            g = g * (rows_f / (rows_f - FOLD_PAD[name]))
         loss = loss + mse(g, target_grams[name])
     return loss
 

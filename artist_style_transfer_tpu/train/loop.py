@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from artist_style_transfer_tpu.models.transformer import transformer_apply
-from artist_style_transfer_tpu.models.vgg import vgg16_features
+from artist_style_transfer_tpu.models.vgg import fold_batch_ok, vgg16_features
 from artist_style_transfer_tpu.models.resnet import classifier_apply
 from artist_style_transfer_tpu.ops.image import (
     bgr_to_rgb,
@@ -42,6 +42,7 @@ from artist_style_transfer_tpu.ops.losses import (
     cross_entropy_loss,
     style_loss_gram,
 )
+from artist_style_transfer_tpu.ops.precision import get_precision
 from artist_style_transfer_tpu.parallel.mesh import shard_batch
 from artist_style_transfer_tpu.train.styles import StyleTargets, select_step_grams
 
@@ -105,6 +106,7 @@ def make_step_fns(
     compute_dtype: str = "float32",
     remat: bool = False,
     reference_typo_stats: bool = False,
+    fold_batch: str | bool = "auto",
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
@@ -131,6 +133,14 @@ def make_step_fns(
         )
     just_content = mode == "classifier"
     cdtype = jnp.dtype(compute_dtype)
+    # Batch->H folding of the shallow VGG blocks (see models.vgg
+    # _vgg16_features_folded): numerically exact, dispatched in the
+    # mixed-precision throughput mode on a single device. Under a
+    # multi-device mesh the fold's (N,...)->(1,N*B,...) reshape merges the
+    # DP-sharded batch axis into H, which GSPMD resolves with gathers —
+    # keep the unfolded path there.
+    if fold_batch == "auto":
+        fold_batch = cdtype != jnp.float32 and _mesh_size(mesh) == 1
     vgg_compute = (
         jax.tree.map(lambda a: a.astype(cdtype), vgg_params)
         if cdtype != jnp.float32
@@ -141,12 +151,14 @@ def make_step_fns(
     # worthwhile here because training is HBM-bound with MXU headroom, so
     # the freed memory buys a larger (better-utilizing) batch.
     tr_apply = jax.checkpoint(transformer_apply) if remat else transformer_apply
-    if remat:
-        vgg_apply = jax.checkpoint(
-            lambda p, x: vgg16_features(p, x, just_content=just_content)
+
+    def _vgg_apply(p, x):
+        return vgg16_features(
+            p, x, just_content=just_content,
+            fold_batch=fold_batch and fold_batch_ok(x.shape),
         )
-    else:
-        vgg_apply = lambda p, x: vgg16_features(p, x, just_content=just_content)
+
+    vgg_apply = jax.checkpoint(_vgg_apply) if remat else _vgg_apply
 
     def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
         vgg_p = vgg_compute if vgg_p is None else vgg_p
@@ -155,9 +167,16 @@ def make_step_fns(
             params = jax.tree.map(lambda a: a.astype(cdtype), params)
             batch = batch.astype(cdtype)
         gen = tr_apply(params, batch)
+        # Must mirror vgg16_features' internal fold gate exactly, so the loss
+        # rescaling is applied iff the taps actually arrive folded.
+        folded = (
+            fold_batch and fold_batch_ok(batch.shape) and get_precision() != "highest"
+        )
         gen_feats = vgg_apply(vgg_p, vgg_caffe_preprocess(gen))
         gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
-        c_loss = content_weight * content_loss(gen_r22, content_r22, use_pallas=use_pallas)
+        c_loss = content_weight * content_loss(
+            gen_r22, content_r22, use_pallas=use_pallas, folded=folded
+        )
 
         if mode == "classifier":
             # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
@@ -174,7 +193,7 @@ def make_step_fns(
                 grams, step, targets.num_cycle if mode == "cycle" else 0
             )
             s_loss = style_weight * style_loss_gram(
-                gen_feats, step_grams, use_pallas=use_pallas
+                gen_feats, step_grams, use_pallas=use_pallas, folded=folded
             )
         total = c_loss + s_loss
         return total, (c_loss, s_loss)

@@ -1,0 +1,162 @@
+"""Batch->H folded shallow-VGG path: exactness vs the direct composition.
+
+The fold (models.vgg._vgg16_features_folded) makes the C<128 conv1/conv2
+blocks batch-1 by stacking images along H with zero separator rows (which
+double as each image's SAME zero padding — VGG convs are zero-padded). These
+tests pin the invariants the fast training path relies on:
+
+- folded taps equal direct taps on the content rows, zeros on separators
+- content/style losses with ``folded=True`` equal the unfolded ones
+- the full training step (loss + grads through the transformer) matches
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artist_style_transfer_tpu.models.transformer import init_transformer_params
+from artist_style_transfer_tpu.models.vgg import (
+    FOLD_PAD,
+    init_vgg16_params,
+    vgg16_features,
+)
+from artist_style_transfer_tpu.ops.precision import set_precision
+from artist_style_transfer_tpu.train.loop import (
+    epoch_permutation,
+    make_optimizer,
+    make_step_fns,
+    precompute_content_relu2_2,
+)
+from artist_style_transfer_tpu.train.styles import build_style_targets
+
+H = W = 32
+N = 3
+
+
+@pytest.fixture(autouse=True)
+def _fast_precision():
+    set_precision("default")
+    yield
+    set_precision("highest")
+
+
+def _content_rows(folded, pad):
+    n, bf, w, c = folded.shape
+    h = bf - pad
+    return folded[:, pad // 2 : pad // 2 + h]
+
+
+def test_folded_taps_match_direct():
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    x = jnp.asarray(np.random.default_rng(0).random((N, H, W, 3), np.float32) * 2 - 1)
+
+    direct = vgg16_features(vgg_params, x)
+    folded = vgg16_features(vgg_params, x, fold_batch=True)
+
+    for name, pad in FOLD_PAD.items():
+        if pad:
+            got = _content_rows(folded[name], pad)
+            # separator rows are exactly zero (they act as the next conv's pad)
+            sep = np.asarray(folded[name][:, : pad // 2])
+            assert np.all(sep == 0), name
+        else:
+            got = folded[name]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(direct[name]), rtol=1e-5, atol=1e-6
+        )
+
+    # just_content variant returns the folded relu2_2 tensor
+    jc = vgg16_features(vgg_params, x, just_content=True, fold_batch=True)
+    np.testing.assert_allclose(
+        np.asarray(_content_rows(jc, FOLD_PAD["relu2_2"])),
+        np.asarray(direct["relu2_2"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_fold_gate_rejects_unaligned_shapes():
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    x = jnp.zeros((2, 30, 32, 3), jnp.float32)  # H % 4 != 0
+    out = vgg16_features(vgg_params, x, fold_batch=True)
+    assert out["relu1_2"].shape[1] == 30  # fell back to the direct path
+
+
+@pytest.mark.parametrize("mode", ["cycle", "classifier"])
+def test_folded_step_matches_unfolded(mode):
+    rng = np.random.default_rng(4)
+    content = jnp.asarray(rng.random((2 * N, H, W, 3), np.float32) * 255)
+    paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
+    params = init_transformer_params(jax.random.key(0))
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    clf_params = None
+    if mode == "classifier":
+        from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+        clf_params = init_classifier_params(jax.random.key(2))
+
+    targets = build_style_targets(
+        mode, vgg_params, "X", paintings=paintings, batch_size=N,
+        artist_index=1 if mode == "classifier" else None,
+    )
+    r22 = precompute_content_relu2_2(vgg_params, content)
+
+    def run(fold):
+        tx = make_optimizer(1e-3, 1e-4, 2, 2, 2)
+        fns = make_step_fns(
+            mode, vgg_params, clf_params, targets,
+            content_weight=17.0, style_weight=25.0,
+            batch_size=N, num_content=2 * N, tx=tx,
+            use_pallas=False, fold_batch=fold,
+        )
+        p = jax.tree.map(jnp.copy, params)  # epoch_fn donates its params buffers
+        opt_state = tx.init(p)
+        perm = epoch_permutation(0, 0, 2 * N)
+        p, opt_state, losses = fns.epoch_fn(
+            p, opt_state, content, r22, targets.grams, targets.labels,
+            perm, jnp.int32(0),
+        )
+        return np.asarray(losses), jax.tree.leaves(p)
+
+    losses_d, leaves_d = run(False)
+    losses_f, leaves_f = run(True)
+    np.testing.assert_allclose(losses_f, losses_d, rtol=2e-4)
+    # Params after 2 Adam steps: float-reassociation noise in noise-level
+    # gradient elements is amplified to ~sign(g)*lr by Adam's first-step
+    # normalization, so the bound here is O(lr)=1e-3, not grad-tight. The
+    # grad-tight exactness check is test_folded_grads_match_direct below.
+    for a, b in zip(leaves_f, leaves_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-3)
+
+
+def test_folded_grads_match_direct():
+    """Tight exactness: grads through the folded VGG match the direct path."""
+    from artist_style_transfer_tpu.models.transformer import transformer_apply
+    from artist_style_transfer_tpu.ops.image import vgg_caffe_preprocess
+    from artist_style_transfer_tpu.ops.losses import content_loss, style_loss_gram
+    from artist_style_transfer_tpu.train.styles import select_step_grams
+
+    rng = np.random.default_rng(4)
+    content = jnp.asarray(rng.random((N, H, W, 3), np.float32) * 255)
+    paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
+    params = init_transformer_params(jax.random.key(0))
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    targets = build_style_targets(
+        "cycle", vgg_params, "X", paintings=paintings, batch_size=N
+    )
+    g0 = select_step_grams(targets.grams, jnp.int32(0), targets.num_cycle)
+    r22 = vgg16_features(vgg_params, vgg_caffe_preprocess(content), just_content=True)
+
+    def loss(p, fold):
+        gen = transformer_apply(p, content)
+        feats = vgg16_features(vgg_params, vgg_caffe_preprocess(gen), fold_batch=fold)
+        c = 17.0 * content_loss(feats["relu2_2"], r22, folded=fold)
+        s = 25.0 * style_loss_gram(feats, g0, folded=fold)
+        return c + s
+
+    ld, gd = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    lf, gf = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
