@@ -24,10 +24,15 @@ from artist_style_transfer_tpu.ops.image import (
 )
 
 
-@jax.jit
-def _eval_batch(params, clf_params, images_bgr_255: jax.Array) -> jax.Array:
-    """Predicted class per image: stylize -> uint8 clip -> crop -> classify."""
-    out = transformer_apply(params, images_bgr_255)
+@functools.partial(jax.jit, static_argnames=("fold_batch",))
+def _eval_batch(params, clf_params, images_bgr_255: jax.Array,
+                fold_batch: bool = True) -> jax.Array:
+    """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
+
+    ``fold_batch``: batch->H folded shallow transformer layers (fast
+    precision only); disabled under a mesh — the fold's reshape would
+    merge the sharded batch axis into H and force gathers."""
+    out = transformer_apply(params, images_bgr_255, fold_batch=fold_batch)
     # The reference quantizes to uint8 before the classifier transform
     # (inference.py:116 -> :154); reproduce the rounding.
     out = jnp.floor(jnp.clip(out, 0.0, 255.0))
@@ -83,7 +88,9 @@ def evaluate_with_classifier(
             chunk = jnp.asarray(chunk, jnp.float32)
             if mesh is not None:
                 chunk = jax.device_put(chunk, batch_sharding(mesh))
-            p = np.asarray(_eval_batch(params, classifier_params, chunk))
+            p = np.asarray(
+                _eval_batch(params, classifier_params, chunk, fold_batch=mesh is None)
+            )
             preds[take] = p[: len(take)]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:

@@ -27,7 +27,9 @@ def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
     bandwidth). Clipping to [0,255] matches the reference's save-time clip
     (inference.py:116, train_cnn.py:112).
     """
-    out = transformer_apply(params, images_bgr_255.astype(jnp.float32))
+    # fold_batch: batch->H folded shallow layers in fast precision (exact
+    # up to reassociation; no-op for parity mode / unfoldable shapes).
+    out = transformer_apply(params, images_bgr_255.astype(jnp.float32), fold_batch=True)
     if clip:
         out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
     return out

@@ -289,6 +289,57 @@ def conv2d_reflect_cinfactored(
     return conv2d(p, wp, b, stride=1, padding=0, precision=precision)
 
 
+def conv2d_wreflect_hzero(
+    x: jax.Array,
+    w_hwio: jax.Array,
+    b: jax.Array | None = None,
+    stride: int = 1,
+    precision: str | None = None,
+) -> jax.Array:
+    """Conv with reflect padding along W but plain ZERO padding along H.
+
+    For the folded-batch transformer path (models.transformer): images are
+    stacked along H with separator rows that already encode each image's H
+    padding (reflect fix-up rows, or zeros for transpose convs), so the H
+    axis wants ordinary SAME zero padding — only the W borders still need
+    reflect semantics. Interior comes from one zero-padded conv; the
+    k//2-wide W bands are recomputed on thin W-reflected slices and pasted
+    over (same scheme as :func:`conv2d_reflect`).
+    """
+    k = w_hwio.shape[0]
+    pad = k // 2
+    if pad == 0:
+        return conv2d(x, w_hwio, b, stride=stride, padding=0, precision=precision)
+
+    w = x.shape[2]
+    w_out = (w + 2 * pad - k) // stride + 1
+    n_left = -(-pad // stride)
+    n_right = w_out - ((w - k + pad) // stride + 1)
+
+    y = conv2d(x, w_hwio, b, stride=stride, padding=pad, precision=precision)
+
+    def valid_w_conv(src):
+        out = jax.lax.conv_general_dilated(
+            src, w_hwio, (stride, stride), ((pad, pad), (0, 0)),
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else x.dtype,
+            precision=precision or get_precision(),
+        ).astype(x.dtype)
+        return out + b if b is not None else out
+
+    if n_left:
+        cols = (n_left - 1) * stride + k - pad
+        src = x[:, :, :cols]
+        band = valid_w_conv(jnp.concatenate([src[:, :, pad:0:-1], src], axis=2))
+        y = y.at[:, :, :n_left].set(band)
+    if n_right:
+        start = (w_out - n_right) * stride - pad
+        src = x[:, :, start:]
+        band = valid_w_conv(jnp.concatenate([src, src[:, :, -2 : -2 - pad : -1]], axis=2))
+        y = y.at[:, :, w_out - n_right :].set(band)
+    return y
+
+
 def _conv2d_small_cout_zeropad(
     x: jax.Array,
     w_hwio: jax.Array,

@@ -16,3 +16,11 @@ def reflect_pad_hw(x: jax.Array, pad: int) -> jax.Array:
     if pad == 0:
         return x
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def reflect_pad_w(x: jax.Array, pad: int) -> jax.Array:
+    """Reflect-pad only the W axis (folded-batch path: H padding lives in
+    the fold's separator rows, see models.transformer)."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")

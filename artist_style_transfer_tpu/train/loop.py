@@ -150,7 +150,12 @@ def make_step_fns(
     # Rematerialization trades recompute FLOPs for activation memory —
     # worthwhile here because training is HBM-bound with MXU headroom, so
     # the freed memory buys a larger (better-utilizing) batch.
-    tr_apply = jax.checkpoint(transformer_apply) if remat else transformer_apply
+    def _tr_apply(p, x):
+        # Same fold gate as the VGG side: batch->H folded shallow layers
+        # (models.transformer._transformer_apply_folded).
+        return transformer_apply(p, x, fold_batch=bool(fold_batch))
+
+    tr_apply = jax.checkpoint(_tr_apply) if remat else _tr_apply
 
     def _vgg_apply(p, x):
         return vgg16_features(

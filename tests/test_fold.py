@@ -124,10 +124,53 @@ def test_folded_step_matches_unfolded(mode):
     np.testing.assert_allclose(losses_f, losses_d, rtol=2e-4)
     # Params after 2 Adam steps: float-reassociation noise in noise-level
     # gradient elements is amplified to ~sign(g)*lr by Adam's first-step
-    # normalization, so the bound here is O(lr)=1e-3, not grad-tight. The
-    # grad-tight exactness check is test_folded_grads_match_direct below.
+    # normalization, so the bound here is O(2*steps*lr)=4e-3, not
+    # grad-tight. The grad-tight exactness checks are
+    # test_folded_grads_match_direct / test_transformer_folded_grads_*.
     for a, b in zip(leaves_f, leaves_d):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
+
+
+def test_transformer_folded_matches_direct():
+    """Folded transformer forward == direct fast-mode forward (all shapes)."""
+    from artist_style_transfer_tpu.models.transformer import transformer_apply
+
+    params = init_transformer_params(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    for n, h, w in [(3, 32, 32), (2, 64, 48), (4, 24, 36)]:
+        x = jnp.asarray(rng.random((n, h, w, 3), np.float32) * 255)
+        direct = transformer_apply(params, x)
+        folded = transformer_apply(params, x, fold_batch=True)
+        np.testing.assert_allclose(
+            np.asarray(folded), np.asarray(direct), rtol=1e-4, atol=1e-5
+        )
+    # gate rejections fall back to the direct path (identical results)
+    for shape in [(1, 32, 32, 3), (2, 30, 32, 3), (2, 16, 32, 3)]:
+        x = jnp.asarray(rng.random(shape, np.float32) * 255)
+        np.testing.assert_array_equal(
+            np.asarray(transformer_apply(params, x, fold_batch=True)),
+            np.asarray(transformer_apply(params, x)),
+        )
+
+
+def test_transformer_folded_grads_match_direct():
+    from artist_style_transfer_tpu.models.transformer import transformer_apply
+
+    params = init_transformer_params(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((N, H, W, 3), np.float32) * 255)
+    tgt = jnp.asarray(rng.random((N, H, W, 3), np.float32) * 255)
+
+    def loss(p, fold):
+        return jnp.mean((transformer_apply(p, x, fold_batch=fold) - tgt) ** 2)
+
+    ld, gd = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    lf, gf = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gf)):
+        a, b = np.asarray(a), np.asarray(b)
+        # atol scaled to the leaf's magnitude: reassociation noise only
+        np.testing.assert_allclose(a, b, atol=1e-5 + 5e-5 * np.abs(a).max())
 
 
 def test_folded_grads_match_direct():
