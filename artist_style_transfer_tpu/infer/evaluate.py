@@ -24,14 +24,12 @@ from artist_style_transfer_tpu.ops.image import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("fold_batch",))
-def _eval_batch(params, clf_params, images_bgr_255: jax.Array,
-                fold_batch: bool = True) -> jax.Array:
+def _eval_core(params, clf_params, images_bgr_255: jax.Array,
+               fold_batch: bool) -> jax.Array:
     """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
 
     ``fold_batch``: batch->H folded shallow transformer layers (fast
-    precision only); disabled under a mesh — the fold's reshape would
-    merge the sharded batch axis into H and force gathers."""
+    precision only; no-op for unfoldable shapes)."""
     out = transformer_apply(params, images_bgr_255, fold_batch=fold_batch)
     # The reference quantizes to uint8 before the classifier transform
     # (inference.py:116 -> :154); reproduce the rounding.
@@ -40,6 +38,28 @@ def _eval_batch(params, clf_params, images_bgr_255: jax.Array,
     rgb01 = bgr_to_rgb(crop) / 255.0
     logits = classifier_apply(clf_params, torchvision_normalize(rgb01))
     return jnp.argmax(logits, axis=-1)
+
+
+_eval_batch = jax.jit(_eval_core, static_argnames=("fold_batch",))
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_batch_sharded(mesh):
+    """Mesh variant: batch sharded over 'data', params replicated, and each
+    device runs the batch->H fold on its LOCAL shard under shard_map (a
+    global fold would merge the sharded batch axis into H and force
+    gathers — same scheme as train.loop grad_fn_sharded)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(params, clf_params, images):
+        return _eval_core(params, clf_params, images, True)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P("data")), out_specs=P("data"),
+        )
+    )
 
 
 def evaluate_with_classifier(
@@ -88,9 +108,18 @@ def evaluate_with_classifier(
             chunk = jnp.asarray(chunk, jnp.float32)
             if mesh is not None:
                 chunk = jax.device_put(chunk, batch_sharding(mesh))
-            p = np.asarray(
-                _eval_batch(params, classifier_params, chunk, fold_batch=mesh is None)
-            )
+                if batch_size % mesh.devices.size == 0:
+                    p = np.asarray(
+                        _eval_batch_sharded(mesh)(params, classifier_params, chunk)
+                    )
+                else:
+                    p = np.asarray(
+                        _eval_batch(params, classifier_params, chunk, fold_batch=False)
+                    )
+            else:
+                p = np.asarray(
+                    _eval_batch(params, classifier_params, chunk, fold_batch=True)
+                )
             preds[take] = p[: len(take)]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:

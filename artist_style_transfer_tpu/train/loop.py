@@ -133,77 +133,111 @@ def make_step_fns(
         )
     just_content = mode == "classifier"
     cdtype = jnp.dtype(compute_dtype)
-    # Batch->H folding of the shallow VGG blocks (see models.vgg
-    # _vgg16_features_folded): numerically exact, dispatched in the
-    # mixed-precision throughput mode on a single device. Under a
-    # multi-device mesh the fold's (N,...)->(1,N*B,...) reshape merges the
-    # DP-sharded batch axis into H, which GSPMD resolves with gathers —
-    # keep the unfolded path there.
+    # Batch->H folding of the shallow VGG + transformer layers (see
+    # models.vgg._vgg16_features_folded / models.transformer
+    # ._transformer_apply_folded): numerically exact, dispatched in the
+    # mixed-precision throughput mode. Single-device it applies directly;
+    # under a multi-device mesh the fold's (N,...)->(1,N*B,...) reshape
+    # would merge the DP-sharded batch axis into H (GSPMD resolves that
+    # with gathers), so the gradient is instead computed under
+    # ``shard_map`` and each device folds its LOCAL batch shard — same
+    # math (per-image norms, equal-size shards => pmean of per-shard mean
+    # losses/grads == global mean), same per-chip layout win.
     if fold_batch == "auto":
-        fold_batch = cdtype != jnp.float32 and _mesh_size(mesh) == 1
+        fold_batch = cdtype != jnp.float32
+    fold_global = bool(fold_batch) and _mesh_size(mesh) == 1
+    use_shmap = (
+        bool(fold_batch)
+        and _mesh_size(mesh) > 1
+        and batch_size % mesh.devices.size == 0
+    )
     vgg_compute = (
         jax.tree.map(lambda a: a.astype(cdtype), vgg_params)
         if cdtype != jnp.float32
         else vgg_params
     )
 
-    # Rematerialization trades recompute FLOPs for activation memory —
-    # worthwhile here because training is HBM-bound with MXU headroom, so
-    # the freed memory buys a larger (better-utilizing) batch.
-    def _tr_apply(p, x):
-        # Same fold gate as the VGG side: batch->H folded shallow layers
-        # (models.transformer._transformer_apply_folded).
-        return transformer_apply(p, x, fold_batch=bool(fold_batch))
+    def _make_loss_fn(fold: bool):
+        # Rematerialization trades recompute FLOPs for activation memory —
+        # worthwhile here because training is HBM-bound with MXU headroom,
+        # so the freed memory buys a larger (better-utilizing) batch.
+        def _tr_apply(p, x):
+            return transformer_apply(p, x, fold_batch=fold)
 
-    tr_apply = jax.checkpoint(_tr_apply) if remat else _tr_apply
+        tr_apply = jax.checkpoint(_tr_apply) if remat else _tr_apply
 
-    def _vgg_apply(p, x):
-        return vgg16_features(
-            p, x, just_content=just_content,
-            fold_batch=fold_batch and fold_batch_ok(x.shape),
-        )
-
-    vgg_apply = jax.checkpoint(_vgg_apply) if remat else _vgg_apply
-
-    def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
-        vgg_p = vgg_compute if vgg_p is None else vgg_p
-        clf_p = classifier_params if clf_p is None else clf_p
-        if cdtype != jnp.float32:
-            params = jax.tree.map(lambda a: a.astype(cdtype), params)
-            batch = batch.astype(cdtype)
-        gen = tr_apply(params, batch)
-        # Must mirror vgg16_features' internal fold gate exactly, so the loss
-        # rescaling is applied iff the taps actually arrive folded.
-        folded = (
-            fold_batch and fold_batch_ok(batch.shape) and get_precision() != "highest"
-        )
-        gen_feats = vgg_apply(vgg_p, vgg_caffe_preprocess(gen))
-        gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
-        c_loss = content_weight * content_loss(
-            gen_r22, content_r22, use_pallas=use_pallas, folded=folded
-        )
-
-        if mode == "classifier":
-            # BGR [0,255] -> RGB [0,1] -> torchvision stats (train_cnn.py:312;
-            # default = the correct 0.456 G mean, not the reference's 0.546
-            # typo; reference_typo_stats=True reproduces the typo for strict
-            # trajectory comparison)
-            rgb01 = bgr_to_rgb(gen) / 255.0
-            logits = classifier_apply(
-                clf_p, torchvision_normalize(rgb01, reference_typo_stats)
+        def _vgg_apply(p, x):
+            return vgg16_features(
+                p, x, just_content=just_content,
+                fold_batch=fold and fold_batch_ok(x.shape),
             )
-            s_loss = style_weight * cross_entropy_loss(logits, labels)
-        else:
-            step_grams = select_step_grams(
-                grams, step, targets.num_cycle if mode == "cycle" else 0
-            )
-            s_loss = style_weight * style_loss_gram(
-                gen_feats, step_grams, use_pallas=use_pallas, folded=folded
-            )
-        total = c_loss + s_loss
-        return total, (c_loss, s_loss)
 
+        vgg_apply = jax.checkpoint(_vgg_apply) if remat else _vgg_apply
+
+        def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
+            vgg_p = vgg_compute if vgg_p is None else vgg_p
+            clf_p = classifier_params if clf_p is None else clf_p
+            if cdtype != jnp.float32:
+                params = jax.tree.map(lambda a: a.astype(cdtype), params)
+                batch = batch.astype(cdtype)
+            gen = tr_apply(params, batch)
+            # Must mirror vgg16_features' internal fold gate exactly, so the
+            # loss rescaling is applied iff the taps actually arrive folded.
+            folded = (
+                fold and fold_batch_ok(batch.shape) and get_precision() != "highest"
+            )
+            gen_feats = vgg_apply(vgg_p, vgg_caffe_preprocess(gen))
+            gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
+            c_loss = content_weight * content_loss(
+                gen_r22, content_r22, use_pallas=use_pallas, folded=folded
+            )
+
+            if mode == "classifier":
+                # BGR [0,255] -> RGB [0,1] -> torchvision stats
+                # (train_cnn.py:312; default = the correct 0.456 G mean, not
+                # the reference's 0.546 typo; reference_typo_stats=True
+                # reproduces the typo for strict trajectory comparison)
+                rgb01 = bgr_to_rgb(gen) / 255.0
+                logits = classifier_apply(
+                    clf_p, torchvision_normalize(rgb01, reference_typo_stats)
+                )
+                s_loss = style_weight * cross_entropy_loss(logits, labels)
+            else:
+                step_grams = select_step_grams(
+                    grams, step, targets.num_cycle if mode == "cycle" else 0
+                )
+                s_loss = style_weight * style_loss_gram(
+                    gen_feats, step_grams, use_pallas=use_pallas, folded=folded
+                )
+            total = c_loss + s_loss
+            return total, (c_loss, s_loss)
+
+        return loss_fn
+
+    loss_fn = _make_loss_fn(fold_global)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if use_shmap:
+        from jax.sharding import PartitionSpec as _P
+
+        _local_grad = jax.value_and_grad(_make_loss_fn(True), has_aux=True)
+
+        def _local_step(params, batch, r22, grams, labels, step, vgg_p, clf_p):
+            (total, (c_l, s_l)), g = _local_grad(
+                params, batch, r22, grams, labels, step, vgg_p, clf_p
+            )
+            pm = lambda t: jax.lax.pmean(t, "data")  # noqa: E731
+            return (pm(total), (pm(c_l), pm(s_l))), jax.tree.map(pm, g)
+
+        _dp = _P("data")
+        grad_fn_sharded = jax.shard_map(
+            _local_step,
+            mesh=mesh,
+            in_specs=(_P(), _dp, _dp, _P(), _dp, _P(), _P(), _P()),
+            out_specs=_P(),
+        )
+    else:
+        grad_fn_sharded = None
 
     # Frozen VGG weights enter the compiled epoch as a real argument, not a
     # closure constant — closed-over arrays get baked into the HLO as
@@ -220,7 +254,14 @@ def make_step_fns(
             batch = shard_batch(jnp.take(content_data, idx, axis=0), step_mesh)
             r22 = shard_batch(jnp.take(content_r22, idx, axis=0), step_mesh)
             step_labels = None if labels is None else labels[: idx.shape[0]]
-            (total, (c_l, s_l)), grads = grad_fn(
+            # Full DP steps fold each device's local shard under shard_map;
+            # the ragged tail (step_mesh=None there) uses the global path.
+            gf = (
+                grad_fn_sharded
+                if (grad_fn_sharded is not None and step_mesh is not None)
+                else grad_fn
+            )
+            (total, (c_l, s_l)), grads = gf(
                 params, batch, r22, grams, step_labels, step, vgg_p, clf_p
             )
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -173,6 +173,63 @@ def test_transformer_folded_grads_match_direct():
         np.testing.assert_allclose(a, b, atol=1e-5 + 5e-5 * np.abs(a).max())
 
 
+def test_folded_dp_step_matches_single_device():
+    """DP fold via shard_map: each device folds its LOCAL batch shard
+    (train.loop grad_fn_sharded); the mesh trajectory must match the
+    single-device folded one (same global batches, pmean of per-shard
+    means == global mean for equal shards)."""
+    from artist_style_transfer_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+
+    rng = np.random.default_rng(7)
+    n, b = 16, 8
+    content = jnp.asarray(rng.random((n, H, W, 3), np.float32) * 255)
+    paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
+    params = init_transformer_params(jax.random.key(0))
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    targets = build_style_targets(
+        "cycle", vgg_params, "X", paintings=paintings, batch_size=b
+    )
+    r22_full = precompute_content_relu2_2(vgg_params, content)
+    mesh = make_mesh(shape=(4,), devices=jax.devices()[:4])
+
+    def run(mesh_arg):
+        tx = make_optimizer(1e-3, 1e-4, 2, 2, n // b)
+        fns = make_step_fns(
+            "cycle", vgg_params, None, targets,
+            content_weight=17.0, style_weight=25.0,
+            batch_size=b, num_content=n, tx=tx, mesh=mesh_arg,
+            use_pallas=False, fold_batch=True,
+        )
+        p = jax.tree.map(jnp.copy, params)
+        c, r = content, r22_full
+        if mesh_arg is not None:
+            c = jax.device_put(c, batch_sharding(mesh_arg))
+            r = jax.device_put(r, batch_sharding(mesh_arg))
+            p = jax.device_put(p, replicated_sharding(mesh_arg))
+        opt_state = tx.init(p)
+        out_losses = []
+        for epoch in range(2):
+            perm = epoch_permutation(0, epoch, n)
+            p, opt_state, losses = fns.epoch_fn(
+                p, opt_state, c, r, targets.grams, targets.labels,
+                perm, jnp.int32(epoch * (n // b)),
+            )
+            out_losses.append(np.asarray(losses))
+        return np.concatenate(out_losses), jax.tree.leaves(p)
+
+    losses_s, leaves_s = run(None)
+    losses_m, leaves_m = run(mesh)
+    np.testing.assert_allclose(losses_m, losses_s, rtol=2e-4)
+    # Same Adam-amplified reassociation-noise bound as
+    # test_folded_step_matches_unfolded (local N=2 folds vs one N=8 fold).
+    for a, b_ in zip(leaves_m, leaves_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=5e-3)
+
+
 def test_folded_grads_match_direct():
     """Tight exactness: grads through the folded VGG match the direct path."""
     from artist_style_transfer_tpu.models.transformer import transformer_apply
