@@ -301,7 +301,8 @@ def make_step_fns(
     # --- Streaming step (one jit per distinct batch shape) ------------------
     def stream_step_arg(params, opt_state, batch, grams, labels, step,
                         vgg_full, vgg_p, clf_p):
-        batch = shard_batch(batch, mesh if batch.shape[0] % _mesh_size(mesh) == 0 else None)
+        divisible = batch.shape[0] % _mesh_size(mesh) == 0
+        batch = shard_batch(batch, mesh if divisible else None)
         # Same computation as precompute_content_relu2_2, inlined: full-f32
         # features (vgg_full) cast to the resident-path storage dtype so the
         # streaming trajectory matches the resident one; the generated-image
@@ -310,7 +311,8 @@ def make_step_fns(
         if cdtype != jnp.float32:
             r22 = r22.astype(cdtype)
         step_labels = None if labels is None else labels[: batch.shape[0]]
-        (total, (c_l, s_l)), grads = grad_fn(
+        gf = grad_fn_sharded if (grad_fn_sharded is not None and divisible) else grad_fn
+        (total, (c_l, s_l)), grads = gf(
             params, batch, r22, grams, step_labels, step, vgg_p, clf_p
         )
         updates, opt_state = tx.update(grads, opt_state, params)

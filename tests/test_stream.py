@@ -223,13 +223,21 @@ def test_streaming_short_epoch_logs_and_counts_actual_batches(tmp_path):
     assert len(epoch_logs) == 2
 
 
-def test_streaming_sharded_over_mesh():
-    """Streamed batches shard over the data mesh and losses stay finite."""
+import pytest
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_streaming_sharded_over_mesh(compute_dtype):
+    """Streamed batches shard over the data mesh and losses stay finite.
+
+    bfloat16 additionally routes through the shard-mapped per-shard
+    batch->H fold (train.loop grad_fn_sharded) in fast precision."""
+    from artist_style_transfer_tpu.ops.precision import precision
     from artist_style_transfer_tpu.parallel import make_mesh
     from artist_style_transfer_tpu.train import train
 
     rng = np.random.default_rng(12)
-    n, b = 8, 4
+    n, b = 16, 8  # 2 images per device: the local transformer fold engages
     content = (rng.random((n, H, W, 3)) * 255).astype(np.float32)
     paintings = (rng.random((1, H, W, 3)) * 255).astype(np.float32)
     vgg_params = init_vgg16_params(jax.random.key(1))
@@ -240,11 +248,13 @@ def test_streaming_sharded_over_mesh():
         for s in range(0, n, b):
             yield content[perm[s : s + b]]
 
-    _, losses = train(
-        style_method="random", artist="A", num_epochs=2, batch_size=b,
-        content_data_size=n, seed=2, paintings=paintings,
-        vgg_params=vgg_params, export_pth=False, wordy=False,
-        use_pallas=False, model_dir=None, mesh=mesh, content_stream=stream,
-    )
+    with precision("default" if compute_dtype == "bfloat16" else "highest"):
+        _, losses = train(
+            style_method="random", artist="A", num_epochs=2, batch_size=b,
+            content_data_size=n, seed=2, paintings=paintings,
+            vgg_params=vgg_params, export_pth=False, wordy=False,
+            use_pallas=False, model_dir=None, mesh=mesh, content_stream=stream,
+            compute_dtype=compute_dtype,
+        )
     assert np.all(np.isfinite(losses))
     assert losses[-1, 2] < losses[0, 2]
