@@ -25,7 +25,7 @@ from artist_style_transfer_tpu.ops.image import (
 
 
 def _eval_core(params, clf_params, images_bgr_255: jax.Array,
-               fold_batch: bool) -> jax.Array:
+               fold_batch: bool = True) -> jax.Array:
     """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
 
     ``fold_batch``: batch->H folded shallow transformer layers (fast

@@ -94,7 +94,8 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     def chain(params, x, n):
         def body(y, _):
             # keep values bounded across the chain, like repeated stylization
-            y = jnp.clip(transformer_apply(params, y), 0.0, 255.0)
+            # (fold_batch matches the production stylize path, infer/stylize.py)
+            y = jnp.clip(transformer_apply(params, y, fold_batch=True), 0.0, 255.0)
             return y, None
 
         y, _ = jax.lax.scan(body, x, None, length=n)
