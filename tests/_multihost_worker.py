@@ -69,7 +69,17 @@ kwargs = dict(
     mesh=mesh,
     export_pth=False,
 )
-if mode == "stream":
+if mode == "bf16":
+    # Mixed-precision fast mode: routes through the shard-mapped per-shard
+    # batch->H fold (train.loop grad_fn_sharded) with pmean collectives
+    # crossing the two processes.
+    from artist_style_transfer_tpu.ops.precision import precision
+
+    with precision("default"):
+        _, losses = train(
+            content_images=content, compute_dtype="bfloat16", **kwargs
+        )
+elif mode == "stream":
     from artist_style_transfer_tpu.parallel import per_host_batch_slice
 
     host_batch, offset = per_host_batch_slice(8)

@@ -94,6 +94,47 @@ def test_two_process_trajectory_matches_single_process():
 
 
 @pytest.mark.slow
+def test_two_process_bf16_fold_matches_single_process():
+    """bf16 fast mode under the two-process mesh: the gradient runs through
+    train.loop's shard-mapped per-shard batch->H fold, with the pmean
+    collectives crossing processes over gloo. Trajectory must agree with a
+    single-process bf16 folded run to bf16 forward noise."""
+    multi = _run_two_process("bf16")
+
+    from artist_style_transfer_tpu.models.vgg import init_vgg16_params
+    from artist_style_transfer_tpu.ops.precision import precision
+    from artist_style_transfer_tpu.train.api import train
+
+    rng = np.random.default_rng(0)
+    content = (rng.random((16, 32, 32, 3)) * 255).astype(np.float32)
+    paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    with precision("default"):
+        _, losses = train(
+            style_method="cycle",
+            artist="X",
+            num_epochs=2,
+            batch_size=8,
+            content_data_size=16,
+            seed=0,
+            num_steps=2,
+            lr=1e-3,
+            model_dir="",
+            wordy=False,
+            content_images=content,
+            paintings=paintings,
+            vgg_params=vgg_params,
+            mesh=None,
+            export_pth=False,
+            compute_dtype="bfloat16",
+        )
+    single = np.asarray(losses).ravel()
+    # One N=8 fold single-device vs eight N=1 local folds + cross-process
+    # pmean: same math, different reassociation — bf16 forward noise bound.
+    np.testing.assert_allclose(multi, single, rtol=2e-2)
+
+
+@pytest.mark.slow
 def test_two_process_streaming_matches_single_process_stream():
     """Streaming corpora under a multi-process mesh: each process yields its
     host-local slice of every global batch; device_prefetch lifts the slices
