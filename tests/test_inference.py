@@ -63,6 +63,31 @@ def test_evaluate_with_classifier_counts():
     assert 0.0 <= acc <= 100.0
 
 
+def test_evaluate_with_classifier_mesh_matches_single_device():
+    """Mesh eval (batch sharded, per-shard fold under shard_map in fast
+    precision — infer.evaluate._eval_batch_sharded) predicts the same
+    classes as the single-device path."""
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+    from artist_style_transfer_tpu.ops.precision import precision
+    from artist_style_transfer_tpu.parallel import make_mesh
+
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    rng = np.random.default_rng(4)
+    # batch 8 over 4 devices: 2 images per shard so the local fold engages
+    content = (rng.random((8, 288, 288, 3)) * 255).astype(np.float32)
+    mesh = make_mesh(shape=(4,))
+    with precision("default"):
+        acc_single = evaluate_with_classifier(
+            params, clf, content, artist_index=0, batch_size=8, wordy=False
+        )
+        acc_mesh = evaluate_with_classifier(
+            params, clf, content, artist_index=0, batch_size=8, wordy=False,
+            mesh=mesh,
+        )
+    assert acc_mesh == acc_single
+
+
 def test_evaluate_with_classifier_mixed_sizes():
     """The --no-resize_imgs eval path hands over a list of different-size
     images (reference inference.py:93-98 evaluates raw sizes); batching
