@@ -93,6 +93,14 @@ def evaluate_with_classifier(
 
         params = jax.device_put(params, replicated_sharding(mesh))
         classifier_params = jax.device_put(classifier_params, replicated_sharding(mesh))
+    # One eval callable per call: per-shard folded under shard_map when the
+    # mesh divides the batch; unfolded global otherwise; folded single-device.
+    if mesh is not None and batch_size % mesh.devices.size == 0:
+        run = _eval_batch_sharded(mesh)
+    elif mesh is not None:
+        run = functools.partial(_eval_batch, fold_batch=False)
+    else:
+        run = functools.partial(_eval_batch, fold_batch=True)
     n = len(content_images)
     preds = np.zeros((n,), np.int64)
     by_shape: dict[tuple, list[int]] = {}
@@ -108,18 +116,7 @@ def evaluate_with_classifier(
             chunk = jnp.asarray(chunk, jnp.float32)
             if mesh is not None:
                 chunk = jax.device_put(chunk, batch_sharding(mesh))
-                if batch_size % mesh.devices.size == 0:
-                    p = np.asarray(
-                        _eval_batch_sharded(mesh)(params, classifier_params, chunk)
-                    )
-                else:
-                    p = np.asarray(
-                        _eval_batch(params, classifier_params, chunk, fold_batch=False)
-                    )
-            else:
-                p = np.asarray(
-                    _eval_batch(params, classifier_params, chunk, fold_batch=True)
-                )
+            p = np.asarray(run(params, classifier_params, chunk))
             preds[take] = p[: len(take)]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:

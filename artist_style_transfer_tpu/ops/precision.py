@@ -25,7 +25,17 @@ def get_precision() -> str:
 def set_precision(p: str) -> None:
     global _PRECISION
     assert p in ("highest", "default", "high")
-    _PRECISION = p
+    if p != _PRECISION:
+        _PRECISION = p
+        # The policy is read at TRACE time (conv/matmul precision args, the
+        # fast-mode fold/factored-op gates), so jitted graphs bake it in;
+        # without this, a jit traced under the old policy is silently
+        # reused after a flip (e.g. a parity-mode eval reusing a bf16
+        # throughput trace). Dropping the in-memory caches forces a
+        # retrace; TPU recompiles still hit the persistent on-disk cache.
+        import jax
+
+        jax.clear_caches()
 
 
 @contextlib.contextmanager

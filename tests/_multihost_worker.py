@@ -72,9 +72,12 @@ kwargs = dict(
 if mode == "bf16":
     # Mixed-precision fast mode: routes through the shard-mapped per-shard
     # batch->H fold (train.loop grad_fn_sharded) with pmean collectives
-    # crossing the two processes.
+    # crossing the two processes. Batch 16 over the 8 global devices gives
+    # 2 images per shard, so the transformer fold (which needs local N>=2)
+    # actually engages — not just the trivial N=1 VGG fold.
     from artist_style_transfer_tpu.ops.precision import precision
 
+    kwargs["batch_size"] = 16
     with precision("default"):
         _, losses = train(
             content_images=content, compute_dtype="bfloat16", **kwargs

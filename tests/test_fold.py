@@ -173,6 +173,7 @@ def test_transformer_folded_grads_match_direct():
         np.testing.assert_allclose(a, b, atol=1e-5 + 5e-5 * np.abs(a).max())
 
 
+@pytest.mark.slow
 def test_folded_dp_step_matches_single_device():
     """DP fold via shard_map: each device folds its LOCAL batch shard
     (train.loop grad_fn_sharded); the mesh trajectory must match the

@@ -109,12 +109,13 @@ def test_two_process_bf16_fold_matches_single_process():
     content = (rng.random((16, 32, 32, 3)) * 255).astype(np.float32)
     paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
     vgg_params = init_vgg16_params(jax.random.key(1))
+    # batch 16 matches the worker's bf16 leg: 2 images per device there.
     with precision("default"):
         _, losses = train(
             style_method="cycle",
             artist="X",
             num_epochs=2,
-            batch_size=8,
+            batch_size=16,
             content_data_size=16,
             seed=0,
             num_steps=2,

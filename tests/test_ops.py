@@ -403,3 +403,31 @@ def test_center_crop():
     z = center_crop(small, 4)
     assert z.shape == (1, 4, 4, 1)
     assert float(jnp.sum(z)) == 4.0
+
+
+def test_set_precision_invalidates_jit_caches():
+    """The precision policy is baked into jitted graphs at trace time;
+    set_precision must drop stale traces so an already-jitted function
+    retraces under the new policy (ops.precision.set_precision)."""
+    from artist_style_transfer_tpu.ops.conv import conv2d
+    from artist_style_transfer_tpu.ops.precision import precision, set_precision
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(1.0 + rng.random((1, 8, 8, 64), np.float32) * 1e-3)
+    w = jnp.asarray(1.0 + rng.random((3, 3, 64, 64), np.float32) * 1e-3)
+
+    @jax.jit
+    def f(x, w):
+        return conv2d(x, w, None, stride=1, padding=1)
+
+    with precision("highest"):
+        np.asarray(f(x, w))  # trace + cache under 'highest'
+        set_precision("default")
+        stale_check = np.asarray(f(x, w))  # must retrace under 'default'
+
+        @jax.jit
+        def fresh(x, w):
+            return conv2d(x, w, None, stride=1, padding=1)
+
+        expect = np.asarray(fresh(x, w))
+    np.testing.assert_array_equal(stale_check, expect)

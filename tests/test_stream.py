@@ -6,6 +6,7 @@ scan when fed the same batch sequence.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -221,9 +222,6 @@ def test_streaming_short_epoch_logs_and_counts_actual_batches(tmp_path):
     assert len(batch_logs) == 4  # 2 actual batches x 2 epochs, not 32
     epoch_logs = [m for m in metrics if m["event"] == "epoch"]
     assert len(epoch_logs) == 2
-
-
-import pytest
 
 
 @pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
