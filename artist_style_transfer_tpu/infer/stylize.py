@@ -35,6 +35,45 @@ def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _stylize_spatial_fn(mesh, clip: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(None, "data"))
+
+    def run(params, x):
+        x = jax.lax.with_sharding_constraint(x.astype(jnp.float32), sh)
+        out = transformer_apply(params, x)  # no fold: H carries the shards
+        if clip:
+            out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+        return out
+
+    return jax.jit(run, out_shardings=sh)
+
+
+def stylize_spatial(params, image_bgr_255, mesh, clip: bool = True) -> jax.Array:
+    """Stylize ONE image with its H axis sharded across the mesh.
+
+    The sequence-parallel analog for this model family (SURVEY §5: the
+    long-input axis is image resolution): a single image too large for one
+    chip's activation memory spreads its rows over the 'data' axis, and
+    GSPMD auto-inserts the halo exchanges each conv's receptive field needs
+    plus the all-reduces for the instance-norm H,W statistics — no manual
+    ppermute ring. Per-chip activation memory drops to ~1/n_devices + halo.
+
+    Accepts HWC or NHWC BGR [0,255]; returns the same rank, uint8 if
+    ``clip``. Results match single-device stylization (the math is
+    identical; only reduction orders differ).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    squeeze = image_bgr_255.ndim == 3
+    x = image_bgr_255[None] if squeeze else image_bgr_255
+    x = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "data")))
+    out = _stylize_spatial_fn(mesh, clip)(params, x)
+    return out[0] if squeeze else out
+
+
 def stylize_batched(params, images: list[np.ndarray], batch_size: int = 8) -> list[np.ndarray]:
     """Stylize variable-sized images, batching same-shaped ones together.
 

@@ -103,3 +103,24 @@ def test_mesh_shapes():
     assert m2.devices.shape == (4, 2)
     with pytest.raises(ValueError):
         make_mesh(shape=(64,))
+
+
+def test_stylize_spatial_matches_single_device():
+    """H-sharded single-image stylization (infer.stylize.stylize_spatial):
+    GSPMD halo exchanges + IN-stat all-reduces must reproduce the
+    single-device result up to reduction-order noise."""
+    from artist_style_transfer_tpu.infer.stylize import stylize, stylize_spatial
+
+    params = init_transformer_params(jax.random.key(0))
+    rng = np.random.default_rng(5)
+    img = (rng.random((64, 48, 3)) * 255).astype(np.float32)
+    mesh = make_mesh(shape=(4,))
+
+    out_sp = np.asarray(stylize_spatial(params, img, mesh, clip=False))
+    ref = np.asarray(stylize(params, jnp.asarray(img)[None], clip=False))[0]
+    assert out_sp.shape == ref.shape
+    np.testing.assert_allclose(out_sp, ref, rtol=1e-5, atol=5e-3)
+
+    # uint8 clipped path, batched input rank preserved
+    out_u8 = np.asarray(stylize_spatial(params, img[None], mesh))
+    assert out_u8.shape[0] == 1 and out_u8.dtype == np.uint8
