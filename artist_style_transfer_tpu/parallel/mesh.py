@@ -31,8 +31,20 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def spatial_size(mesh: Mesh | None, axis: str = "space") -> int:
+    """Devices on the spatial (image-rows) mesh axis; 1 when absent."""
+    if mesh is None or axis not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[axis])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard axis 0 (batch) over the data axis; all other dims replicated."""
+    """Shard axis 0 (batch) over the data axis; if the mesh has a 'space'
+    axis, axis 1 (image rows, NHWC) shards over it too — the hybrid
+    DP x spatial layout for resolutions whose activations exceed one chip
+    (GSPMD inserts conv halo exchanges + instance-norm stat all-reduces)."""
+    if spatial_size(mesh) > 1:
+        return NamedSharding(mesh, P(axis, "space"))
     return NamedSharding(mesh, P(axis))
 
 
@@ -44,4 +56,6 @@ def shard_batch(x: jax.Array, mesh: Mesh | None, axis: str = "data") -> jax.Arra
     """Constrain a batch to be sharded over the mesh (no-op when mesh is None)."""
     if mesh is None:
         return x
+    if x.ndim < 2:  # labels etc: batch axis only
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(axis)))
     return jax.lax.with_sharding_constraint(x, batch_sharding(mesh, axis))

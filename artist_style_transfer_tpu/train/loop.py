@@ -43,7 +43,7 @@ from artist_style_transfer_tpu.ops.losses import (
     style_loss_gram,
 )
 from artist_style_transfer_tpu.ops.precision import get_precision
-from artist_style_transfer_tpu.parallel.mesh import shard_batch
+from artist_style_transfer_tpu.parallel.mesh import shard_batch, spatial_size
 from artist_style_transfer_tpu.train.styles import StyleTargets, select_step_grams
 
 
@@ -130,6 +130,20 @@ def make_step_fns(
     if steps_full == 0:
         raise ValueError(
             f"content_data_size={num_content} < batch_size={batch_size}"
+        )
+    if spatial_size(mesh) > 1:
+        # Diagnosed in round 2 on the virtual CPU mesh: GSPMD's weight
+        # gradient for k>1 convs whose spatial dim is sharded ('space'
+        # axis) miscompiles on the CPU backend (dw off by ~3x; forward and
+        # dgrad exact; k=1 and unsharded-H exact) — so spatially-sharded
+        # TRAINING cannot be validated in this environment and is refused
+        # rather than shipped with silently wrong gradients. Spatial
+        # sharding is supported for inference (infer.stylize_spatial,
+        # forward-only, validated exact).
+        raise NotImplementedError(
+            "training over a mesh with a 'space'>1 axis is not supported: "
+            "XLA:CPU GSPMD miscompiles halo'd conv weight gradients; use a "
+            "pure 'data' mesh (spatial sharding is inference-only)"
         )
     just_content = mode == "classifier"
     cdtype = jnp.dtype(compute_dtype)

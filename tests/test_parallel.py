@@ -124,3 +124,48 @@ def test_stylize_spatial_matches_single_device():
     # uint8 clipped path, batched input rank preserved
     out_u8 = np.asarray(stylize_spatial(params, img[None], mesh))
     assert out_u8.shape[0] == 1 and out_u8.dtype == np.uint8
+
+
+def test_spatial_mesh_training_rejected():
+    """Spatial ('space'>1) meshes are inference-only: XLA:CPU GSPMD
+    miscompiles halo'd conv WEIGHT gradients when the H dim is sharded
+    (dw off ~3x; forward and dgrad exact — diagnosed round 2), so
+    make_step_fns refuses rather than training with wrong gradients."""
+    content, params, vgg_params, targets = _setup()
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "space"))
+    tx = make_optimizer(1e-3, 1e-4, 4, 2, N // B)
+    with pytest.raises(NotImplementedError, match="space"):
+        make_step_fns(
+            "cycle", vgg_params, None, targets,
+            content_weight=17.0, style_weight=25.0, batch_size=B,
+            num_content=N, tx=tx, mesh=mesh, use_pallas=False,
+        )
+
+
+def test_spatial_mesh_forward_loss_matches():
+    """Forward-only spatial sharding is exact: the training LOSS under a
+    DP x spatial batch sharding matches single-device (only the weight
+    gradient is affected by the CPU partitioner bug above)."""
+    from artist_style_transfer_tpu.parallel.mesh import batch_sharding as bsh
+
+    content, params, vgg_params, targets = _setup()
+    tx = make_optimizer(1e-3, 1e-4, 4, 2, N // B)
+    fns = make_step_fns(
+        "cycle", vgg_params, None, targets,
+        content_weight=17.0, style_weight=25.0, batch_size=B,
+        num_content=N, tx=tx, mesh=None, use_pallas=False,
+    )
+    r22 = precompute_content_relu2_2(vgg_params, content)
+    loss_fn = jax.jit(
+        lambda p, b, r: fns.loss_fn(p, b, r, targets.grams, None, 0)[0]
+    )
+    ref = float(loss_fn(params, content[:B], r22[:B]))
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "space"))
+    got = float(
+        loss_fn(
+            params,
+            jax.device_put(content[:B], bsh(mesh)),
+            jax.device_put(r22[:B], bsh(mesh)),
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
