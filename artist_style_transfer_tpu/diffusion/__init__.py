@@ -12,6 +12,9 @@ process.
 
 from artist_style_transfer_tpu.diffusion.gaussian import GaussianDiffusion  # noqa: F401
 from artist_style_transfer_tpu.diffusion.unet import diff_model_apply, init_diff_model  # noqa: F401
-from artist_style_transfer_tpu.diffusion.sample import diff_sample  # noqa: F401
+from artist_style_transfer_tpu.diffusion.sample import (  # noqa: F401
+    diff_sample,
+    diff_sample_ddim,
+)
 from artist_style_transfer_tpu.diffusion.train import train_diffusion  # noqa: F401
 from artist_style_transfer_tpu.diffusion.evaluate import cfid, frechet_distance  # noqa: F401

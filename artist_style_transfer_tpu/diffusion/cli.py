@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--classifier_path", default="models/best-2.pth")
     s.add_argument("--seed", type=int, default=0)
     s.add_argument("--schedule", choices=("linear", "cosine"), default="linear")
+    s.add_argument("--ddim_steps", type=int, default=0,
+                   help=">0: DDIM fast sampling with this many steps "
+                        "instead of the full T-step DDPM chain")
+    s.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic ODE)")
     s.add_argument("--out", default="figs/diffusion_samples.png")
 
     e = sub.add_parser("eval")
@@ -211,11 +216,7 @@ def main(argv=None):
         return score
 
     y = jnp.full((args.num_samples,), model_cls_id, jnp.int32)
-    out = diff_sample(
-        params,
-        diffusion,
-        jax.random.key(args.seed),
-        y,
+    sample_kwargs = dict(
         shape=(args.image_size, args.image_size),
         classifier_params=clf_params,
         guidance_scale=args.guidance_scale,
@@ -223,6 +224,17 @@ def main(argv=None):
         if clf_y_id is None
         else jnp.full((args.num_samples,), clf_y_id, jnp.int32),
     )
+    if getattr(args, "ddim_steps", 0) > 0:
+        from artist_style_transfer_tpu.diffusion import diff_sample_ddim
+
+        out = diff_sample_ddim(
+            params, diffusion, jax.random.key(args.seed), y,
+            steps=args.ddim_steps, eta=args.ddim_eta, **sample_kwargs,
+        )
+    else:
+        out = diff_sample(
+            params, diffusion, jax.random.key(args.seed), y, **sample_kwargs
+        )
     import cv2
 
     grid = np.concatenate(np.asarray(out).astype(np.uint8), axis=1)

@@ -129,6 +129,39 @@ def test_diff_sample_shapes_and_guidance():
     assert not np.allclose(np.asarray(guided), o)  # guidance changes the samples
 
 
+def test_diff_sample_ddim_deterministic_and_guided():
+    """DDIM fast sampler: steps<<T model evals, eta=0 fully deterministic,
+    guidance folds into eps via the same x_hat0 trick as DDPM sampling."""
+    from artist_style_transfer_tpu.diffusion import diff_sample_ddim
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+    params = init_diff_model(jax.random.key(0), num_classes=3, base_channels=32)
+    diffusion = GaussianDiffusion.make(num_timesteps=T)
+    y = jnp.asarray([0, 2], jnp.int32)
+
+    a = diff_sample_ddim(params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=6)
+    b = diff_sample_ddim(params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=6)
+    assert a.shape == (2, HW, HW, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # eta=0: deterministic
+    o = np.asarray(a)
+    assert o.min() >= 0.0 and o.max() <= 255.0 and np.all(np.isfinite(o))
+    # different key -> different initial noise -> different samples
+    c = diff_sample_ddim(params, diffusion, jax.random.key(9), y, shape=(HW, HW), steps=6)
+    assert not np.allclose(np.asarray(c), o)
+    # eta=1 adds per-step noise on the subsequence
+    d = diff_sample_ddim(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=6, eta=1.0
+    )
+    assert not np.allclose(np.asarray(d), o)
+    # steps == T runs the full subsequence; guidance changes the samples
+    clf = init_classifier_params(jax.random.key(2), num_classes=3)
+    g = diff_sample_ddim(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=6,
+        classifier_params=clf, guidance_scale=2.0,
+    )
+    assert np.all(np.isfinite(np.asarray(g))) and not np.allclose(np.asarray(g), o)
+
+
 def test_unet_rejects_indivisible_extent():
     """H,W % 4 != 0 desyncs skip shapes; must fail with a clear error."""
     params = init_diff_model(jax.random.key(0), num_classes=2, base_channels=32)
