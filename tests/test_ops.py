@@ -431,3 +431,26 @@ def test_set_precision_invalidates_jit_caches():
 
         expect = np.asarray(fresh(x, w))
     np.testing.assert_array_equal(stale_check, expect)
+
+
+@pytest.mark.parametrize("k,stride", [(3, 1), (3, 2), (9, 1), (9, 2)])
+def test_conv2d_wreflect_hzero_matches_composed_pads(k, stride):
+    """conv2d_wreflect_hzero (folded-batch path: reflect W / zero H) must
+    equal reflect-pad-W + zero-pad-H + VALID conv for all band layouts."""
+    from artist_style_transfer_tpu.ops.conv import conv2d, conv2d_wreflect_hzero
+    from artist_style_transfer_tpu.ops.pad import reflect_pad_w
+
+    rng = np.random.default_rng(k * 10 + stride)
+    pad = k // 2
+    for h, w in [(20, 16), (17, 21), (24, 12)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 5)).astype(np.float32))
+        wt = jnp.asarray(rng.standard_normal((k, k, 5, 4)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+        oracle = conv2d(
+            jnp.pad(reflect_pad_w(x, pad), ((0, 0), (pad, pad), (0, 0), (0, 0))),
+            wt, b, stride=stride, padding=0,
+        )
+        got = conv2d_wreflect_hzero(x, wt, b, stride=stride)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(oracle), rtol=1e-5, atol=1e-5
+        )
