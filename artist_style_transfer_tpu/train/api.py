@@ -85,6 +85,10 @@ def train(
     classifier_params=None,
     use_pallas: str | bool = "auto",
     compute_dtype: str = "float32",
+    # Batch->H folded shallow layers: measured slower for TRAINING on chip
+    # ("auto" -> off, see train/loop.py); explicit True keeps the
+    # shard-mapped fold path exercisable (tests, future toolchains).
+    fold_batch: str | bool = "auto",
     remat: bool = False,
     profile_dir: str | None = None,
     log_every_batches: int = 12,  # reference BATCH_INFO_EVERY (train_cnn.py:29)
@@ -228,6 +232,7 @@ def train(
         mesh=mesh,
         use_pallas=use_pallas,
         compute_dtype=compute_dtype,
+        fold_batch=fold_batch,
         remat=remat,
         reference_typo_stats=reference_typo_stats,
     )

@@ -88,6 +88,11 @@ class StepFns:
     # features are computed in-graph (they cannot be precomputed when the
     # corpus streams through).
     stream_step_fn: Callable | None = None
+    # AOT lowering of the epoch under the same signature as epoch_fn:
+    # epoch_lower(*args).compile().memory_analysis() gives HBM sizing
+    # WITHOUT executing — the only safe way to probe batch limits on the
+    # relayed TPU backend (an actual OOM hangs the relay for hours).
+    epoch_lower: Callable | None = None
 
 
 def make_step_fns(
@@ -149,16 +154,25 @@ def make_step_fns(
     cdtype = jnp.dtype(compute_dtype)
     # Batch->H folding of the shallow VGG + transformer layers (see
     # models.vgg._vgg16_features_folded / models.transformer
-    # ._transformer_apply_folded): numerically exact, dispatched in the
-    # mixed-precision throughput mode. Single-device it applies directly;
+    # ._transformer_apply_folded): numerically exact, but measured a 3x
+    # LOSS for the train step on the real chip (see the "auto" gate
+    # below), so it is opt-in here. Single-device it applies directly;
     # under a multi-device mesh the fold's (N,...)->(1,N*B,...) reshape
     # would merge the DP-sharded batch axis into H (GSPMD resolves that
     # with gathers), so the gradient is instead computed under
     # ``shard_map`` and each device folds its LOCAL batch shard — same
     # math (per-image norms, equal-size shards => pmean of per-shard mean
-    # losses/grads == global mean), same per-chip layout win.
+    # losses/grads == global mean), same per-chip layout.
     if fold_batch == "auto":
-        fold_batch = cdtype != jnp.float32
+        # Measured on the real chip (b96/224 bf16 'cycle'): folded train
+        # step 235 img/s vs 710 direct — the fold's layout win on the
+        # shallow convs is swamped by its backward (separator-row fix-up
+        # gathers + folded VGG dgrad), and compile-only memory analysis
+        # shows it also costs +3.8 GiB temp at b128. Training therefore
+        # defaults to the direct path; the fold remains available
+        # explicitly (and stays the dispatched win for forward-only
+        # stylize/eval, where it measured neutral-to-positive).
+        fold_batch = False
     fold_global = bool(fold_batch) and _mesh_size(mesh) == 1
     use_shmap = (
         bool(fold_batch)
@@ -341,11 +355,19 @@ def make_step_fns(
             vgg_params, vgg_compute, classifier_params,
         )
 
+    def epoch_lower(params, opt_state, content_data, content_r22, grams, labels,
+                    perm, base_step):
+        return epoch_core.lower(
+            params, opt_state, content_data, content_r22, grams, labels,
+            perm, base_step, vgg_compute, classifier_params,
+        )
+
     return StepFns(
         epoch_fn=epoch_jit,
         loss_fn=loss_fn,
         steps_per_epoch=steps_per_epoch,
         stream_step_fn=stream_step_jit,
+        epoch_lower=epoch_lower,
     )
 
 

@@ -334,12 +334,9 @@ def main() -> None:
         )
         return
     if "--train" in sys.argv:
-        try:
-            value = measure_train_cycle_throughput()
-        except Exception:
-            # The folded fast path is the production config; never lose the
-            # bench number to a toolchain regression in it.
-            value = measure_train_cycle_throughput(fold_batch=False)
+        # "auto" resolves to the direct (unfolded) path — the batch->H fold
+        # measured 3x slower for training on chip (see train/loop.py).
+        value = measure_train_cycle_throughput()
         print(
             json.dumps(
                 {

@@ -80,7 +80,8 @@ if mode == "bf16":
     kwargs["batch_size"] = 16
     with precision("default"):
         _, losses = train(
-            content_images=content, compute_dtype="bfloat16", **kwargs
+            content_images=content, compute_dtype="bfloat16",
+            fold_batch=True, **kwargs
         )
 elif mode == "stream":
     from artist_style_transfer_tpu.parallel import per_host_batch_slice

@@ -128,6 +128,7 @@ def test_two_process_bf16_fold_matches_single_process():
             mesh=None,
             export_pth=False,
             compute_dtype="bfloat16",
+            fold_batch=True,
         )
     single = np.asarray(losses).ravel()
     # One N=8 fold single-device vs eight N=1 local folds + cross-process

@@ -188,6 +188,41 @@ def test_epoch_permutation_deterministic():
     assert sorted(p1.tolist()) == list(range(64))
 
 
+def test_epoch_lower_compile_only_memory_analysis():
+    """StepFns.epoch_lower: AOT-lower the epoch without executing.
+
+    This is the HBM-sizing tool (tools/memprobe.py) used to pick batch
+    sizes on the relayed TPU backend, where an actual OOM hangs the relay
+    — the lowering must accept ShapeDtypeStructs and compile() must yield
+    a memory analysis, with no device execution.
+    """
+    rng = np.random.default_rng(0)
+    paintings = (rng.random((2, H, W, 3)) * 255).astype(np.float32)
+    params = init_transformer_params(jax.random.key(0))
+    from artist_style_transfer_tpu.models.vgg import init_vgg16_params
+
+    vgg_params = init_vgg16_params(jax.random.key(1))
+    targets = build_style_targets(
+        "cycle", vgg_params, "x", paintings=paintings, batch_size=B
+    )
+    tx = make_optimizer(1e-3, 1e-4, 2, 2, 2)
+    fns = make_step_fns(
+        "cycle", vgg_params, None, targets,
+        content_weight=17.0, style_weight=25.0,
+        batch_size=B, num_content=2 * B, tx=tx, use_pallas=False,
+    )
+    content = jax.ShapeDtypeStruct((2 * B, H, W, 3), jnp.float32)
+    r22 = jax.ShapeDtypeStruct((2 * B, H // 2, W // 2, 128), jnp.float32)
+    opt_state = jax.eval_shape(tx.init, params)
+    perm = jax.ShapeDtypeStruct((2 * B,), jnp.int32)
+    lowered = fns.epoch_lower(
+        params, opt_state, content, r22, targets.grams, None, perm,
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    ma = lowered.compile().memory_analysis()
+    assert ma.temp_size_in_bytes > 0
+
+
 @pytest.mark.parametrize("mode", ["random", "average", "smartaverage", "cycle"])
 def test_train_smoke_gram_modes(mode, tmp_path):
     """End-to-end train() on tiny synthetic data: runs, losses finite & improving."""
