@@ -26,7 +26,7 @@ from artist_style_transfer_tpu.ops.conv import (
     max_pool2d,
     max_pool_global,
 )
-from artist_style_transfer_tpu.ops.norm import batch_norm_inference
+from artist_style_transfer_tpu.ops.norm import batch_norm_inference, batch_norm_train
 
 # The 19 artist classes, reference train_cnn.py:262-266 / inference.py:15-19.
 ARTISTS_19 = (
@@ -106,15 +106,38 @@ def _bn(x, p):
     return batch_norm_inference(x, p["gamma"], p["beta"], p["mean"], p["var"])
 
 
-def _bottleneck(p: dict, x: jax.Array, stride: int) -> jax.Array:
+def _bottleneck(p: dict, x: jax.Array, stride: int, bn, prefix: str) -> jax.Array:
     """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1, BN+ReLU, projection skip."""
     identity = x
-    h = jax.nn.relu(_bn(conv2d(x, p["conv1"]["w"], stride=1, padding=0), p["bn1"]))
-    h = jax.nn.relu(_bn(conv2d(h, p["conv2"]["w"], stride=stride, padding=1), p["bn2"]))
-    h = _bn(conv2d(h, p["conv3"]["w"], stride=1, padding=0), p["bn3"])
+    h = jax.nn.relu(bn(conv2d(x, p["conv1"]["w"], stride=1, padding=0), p["bn1"], f"{prefix}.bn1"))
+    h = jax.nn.relu(bn(conv2d(h, p["conv2"]["w"], stride=stride, padding=1), p["bn2"], f"{prefix}.bn2"))
+    h = bn(conv2d(h, p["conv3"]["w"], stride=1, padding=0), p["bn3"], f"{prefix}.bn3")
     if "down_conv" in p:
-        identity = _bn(conv2d(x, p["down_conv"]["w"], stride=stride, padding=0), p["down_bn"])
+        identity = bn(
+            conv2d(x, p["down_conv"]["w"], stride=stride, padding=0),
+            p["down_bn"], f"{prefix}.down_bn",
+        )
     return jax.nn.relu(h + identity)
+
+
+def _forward(params: dict, x: jax.Array, bn, return_features: bool) -> jax.Array:
+    """Shared trunk; ``bn(x, bn_params, path_key)`` supplies the BN behavior."""
+    p = params["stem"]
+    x = jax.nn.relu(bn(conv2d(x, p["conv"]["w"], stride=2, padding=3), p["bn"], "stem.bn"))
+    x = max_pool2d(x, 3, 2, padding=1)
+    for si, (stage, (num_blocks, _, stride)) in enumerate(
+        zip(params["stages"], _RESNET50_STAGES)
+    ):
+        for b, block in enumerate(stage):
+            x = _bottleneck(block, x, stride if b == 0 else 1, bn, f"stages.{si}.{b}")
+    # fastai AdaptiveConcatPool2d: max pool first, then avg (classifier.py:25).
+    feats = jnp.concatenate([max_pool_global(x), avg_pool_global(x)], axis=-1)  # (N, 4096)
+    h = bn(feats, params["head"]["bn1"], "head.bn1")
+    h = jax.nn.relu(linear(h, params["head"]["fc1"]["w"], params["head"]["fc1"]["b"]))
+    if return_features:
+        return h
+    h = bn(h, params["head"]["bn2"], "head.bn2")
+    return linear(h, params["head"]["fc2"]["w"], params["head"]["fc2"]["b"])
 
 
 def classifier_apply(
@@ -122,21 +145,58 @@ def classifier_apply(
 ) -> jax.Array:
     """Logits (N, num_classes) from NHWC RGB torchvision-normalized input.
 
+    Inference mode: BN uses the frozen running statistics, exactly as the
+    reference runs the classifier in ``eval()`` (train_cnn.py:158).
+
     ``return_features=True`` returns the 512-dim penultimate representation
     (post-ReLU fc1 output) instead — the embedding the Fréchet eval metric
     uses (:mod:`artist_style_transfer_tpu.diffusion.evaluate`).
     """
-    p = params["stem"]
-    x = jax.nn.relu(_bn(conv2d(x, p["conv"]["w"], stride=2, padding=3), p["bn"]))
-    x = max_pool2d(x, 3, 2, padding=1)
-    for stage, (num_blocks, _, stride) in zip(params["stages"], _RESNET50_STAGES):
-        for b, block in enumerate(stage):
-            x = _bottleneck(block, x, stride if b == 0 else 1)
-    # fastai AdaptiveConcatPool2d: max pool first, then avg (classifier.py:25).
-    feats = jnp.concatenate([max_pool_global(x), avg_pool_global(x)], axis=-1)  # (N, 4096)
-    h = _bn(feats, params["head"]["bn1"])
-    h = jax.nn.relu(linear(h, params["head"]["fc1"]["w"], params["head"]["fc1"]["b"]))
-    if return_features:
-        return h
-    h = _bn(h, params["head"]["bn2"])
-    return linear(h, params["head"]["fc2"]["w"], params["head"]["fc2"]["b"])
+    return _forward(params, x, lambda h, p, _key: _bn(h, p), return_features)
+
+
+def classifier_apply_train(
+    params: dict, x: jax.Array, return_features: bool = False
+) -> tuple[jax.Array, dict]:
+    """Training-mode forward: BN normalizes by *batch* statistics.
+
+    Returns ``(logits, bn_stats)`` where ``bn_stats`` maps each BN layer's
+    params-pytree path (e.g. ``"stages.0.1.bn2"``) to its
+    ``(batch_mean, batch_var_unbiased)`` — feed to
+    :func:`update_running_stats` for the torch-momentum running-stat update.
+    This is the mode for training the classifier itself
+    (:mod:`artist_style_transfer_tpu.train.classifier`); style-transfer
+    training always uses the frozen :func:`classifier_apply`.
+    """
+    stats: dict = {}
+
+    def bn(h, p, key):
+        y, mean, var = batch_norm_train(h, p["gamma"], p["beta"])
+        stats[key] = (mean, var)
+        return y
+
+    out = _forward(params, x, bn, return_features)
+    return out, stats
+
+
+def update_running_stats(params: dict, bn_stats: dict, momentum: float = 0.1) -> dict:
+    """New params pytree with BN running stats updated torch-style.
+
+    ``running = (1 - momentum) * running + momentum * batch_stat`` with
+    torch's default ``momentum=0.1`` (unbiased batch variance), matching
+    ``nn.BatchNorm{1,2}d.forward`` in train mode.
+    """
+
+    def upd(path, leaf):
+        parts = [
+            str(getattr(p, "key", getattr(p, "idx", ""))) for p in path
+        ]
+        if parts[-1] not in ("mean", "var"):
+            return leaf
+        key = ".".join(parts[:-1])
+        if key not in bn_stats:
+            return leaf
+        batch = bn_stats[key][0 if parts[-1] == "mean" else 1]
+        return (1.0 - momentum) * leaf + momentum * batch
+
+    return jax.tree_util.tree_map_with_path(upd, params)

@@ -156,10 +156,42 @@ def batch_norm_inference(
     """Inference-mode batch norm using frozen running statistics.
 
     The reference always runs its BN-bearing models (ResNet-50 classifier) in
-    ``eval()`` (train_cnn.py:158, inference.py:62), so training-mode BN is
-    deliberately not implemented — style gradients must flow through frozen
+    ``eval()`` (train_cnn.py:158, inference.py:62), so style-transfer training
+    only ever uses this frozen form — style gradients must flow through frozen
     stats identically (SURVEY §7 hard part e). Works on NHWC (C = last axis)
-    and NC tensors.
+    and NC tensors. Training-mode BN (for training the classifier itself,
+    the workflow the reference outsources to an external Kaggle notebook,
+    README.md:34-35) is :func:`batch_norm_train`.
     """
     inv = jax.lax.rsqrt(running_var + eps) * scale
     return x * inv + (bias - running_mean * inv)
+
+
+def batch_norm_train(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = BATCH_NORM_EPS,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Training-mode batch norm: normalize by batch statistics.
+
+    Returns ``(y, batch_mean, batch_var_unbiased)``. Normalization uses the
+    biased variance; the returned variance is the unbiased estimate — the
+    pair torch's ``nn.BatchNorm{1,2}d`` uses in train mode (normalize biased,
+    update running_var unbiased). Stats reduce over every axis but the last
+    (NHWC or NC), in f32. Under a data-parallel ``jit`` with the batch axis
+    sharded, GSPMD turns these reductions into cross-device all-reduces, so
+    the statistics are the *global*-batch statistics automatically (tested
+    mesh == single-device in tests/test_classifier_train.py).
+    """
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    var_unbiased = var * (n / max(n - 1, 1))
+    inv = jax.lax.rsqrt(var + eps) * scale
+    y = (x32 * inv + (bias - mean * inv)).astype(x.dtype)
+    return y, mean, var_unbiased

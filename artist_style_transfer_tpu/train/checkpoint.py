@@ -180,3 +180,21 @@ def export_pth(path: str, params) -> None:
     sd = transformer_params_to_torch(jax.device_get(params))
     torch_sd = {k: torch.from_numpy(np.asarray(v, np.float64)) for k, v in sd.items()}
     torch.save(torch_sd, path)
+
+
+def export_classifier_pth(path: str, params) -> None:
+    """Export a trained artist classifier as a reference-loadable ``.pth``.
+
+    Nested under ``{'model': state_dict}`` exactly as the reference loads
+    ``models/best-2.pth`` (classifier.py:62-63). Float tensors stay f32
+    (the reference casts with ``.double()`` after loading, classifier.py:66).
+    """
+    import torch
+
+    from artist_style_transfer_tpu.utils.torch_import import classifier_params_to_torch
+
+    sd = classifier_params_to_torch(jax.device_get(params))
+    # np.array(..., copy=True) keeps the buffer writable — torch.from_numpy
+    # warns on the read-only arrays jax.device_get hands back.
+    torch_sd = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+    torch.save({"model": torch_sd}, path)

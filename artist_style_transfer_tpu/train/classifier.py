@@ -1,0 +1,294 @@
+"""Artist-classifier training — the workflow that produced ``models/best-2.pth``.
+
+The reference repo only *consumes* a pretrained ResNet-50 artist classifier
+(``/root/reference/classifier.py:62-63``); the model itself was trained in the
+upstream Kaggle notebook the reference credits (``/root/reference/README.md:34-35``,
+"~90.2%"). This module closes that loop TPU-natively, so a user without the
+Google-Drive artifact can produce an equivalent classifier from the painting
+corpus:
+
+- fastai-style transfer learning: ``freeze_body=True`` trains the head plus
+  every BatchNorm affine (fastai ``freeze()``'s ``train_bn=True`` default),
+  ``freeze_body=False`` fine-tunes everything;
+- one-cycle cosine LR schedule (``optax.cosine_onecycle_schedule`` — the
+  fastai ``fit_one_cycle`` recipe);
+- training-mode BN via :func:`models.resnet.classifier_apply_train`, with
+  torch-momentum running-stat updates. Under a data-parallel mesh the batch
+  stats are *global*-batch stats automatically (GSPMD turns the BN reductions
+  into cross-device all-reduces);
+- best-validation-accuracy checkpointing (the reference artifact is literally
+  named ``best-2.pth`` — fastai's ``SaveModelCallback`` naming) and export of
+  a reference-loadable ``{'model': state_dict}`` ``.pth``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from artist_style_transfer_tpu.models.resnet import (
+    classifier_apply,
+    classifier_apply_train,
+    init_classifier_params,
+    update_running_stats,
+)
+from artist_style_transfer_tpu.parallel.mesh import replicated_sharding, shard_batch
+from artist_style_transfer_tpu.train.loop import epoch_permutation
+from artist_style_transfer_tpu.utils.logging import MetricLogger
+
+
+def trainable_labels(params: dict, freeze_body: bool) -> dict:
+    """'train'/'freeze' label pytree for ``optax.multi_transform``.
+
+    BN running statistics are never gradient-trained (they update through
+    :func:`update_running_stats`). With ``freeze_body=True`` the body's conv
+    weights are frozen but every BN affine stays trainable — fastai's
+    ``freeze()`` keeps norm layers training (``train_bn=True``), the stage-1
+    recipe behind the upstream ~90.2% model.
+    """
+
+    def f(path, _leaf):
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if parts[-1] in ("mean", "var"):
+            return "freeze"
+        if not freeze_body:
+            return "train"
+        if parts[0] == "head":
+            return "train"
+        return "train" if parts[-1] in ("gamma", "beta") else "freeze"
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def make_classifier_optimizer(
+    params: dict,
+    lr: float,
+    total_steps: int,
+    weight_decay: float,
+    freeze_body: bool,
+    schedule: str = "onecycle",
+) -> optax.GradientTransformation:
+    """AdamW over the trainable subset; ``schedule`` picks the LR policy:
+    'onecycle' (fastai ``fit_one_cycle``, the upstream recipe) or 'constant'
+    (fastai ``fit``)."""
+    if schedule == "constant":
+        sched = optax.constant_schedule(lr)
+    elif schedule == "onecycle":
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1), peak_value=lr, pct_start=0.25
+        )
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    return optax.multi_transform(
+        {"train": optax.adamw(sched, weight_decay=weight_decay),
+         "freeze": optax.set_to_zero()},
+        trainable_labels(params, freeze_body),
+    )
+
+
+def _split_train_val(n: int, val_fraction: float, seed: int):
+    """Deterministic shuffled index split (validation first, like fastai's
+    ``RandomSplitter``)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    n_val = int(round(n * val_fraction))
+    return perm[n_val:], perm[:n_val]
+
+
+def evaluate_classifier(
+    params: dict, images, labels, batch_size: int = 64, mesh=None
+) -> float:
+    """Inference-mode accuracy over ``(images, labels)``.
+
+    Batched with one ragged tail at its own static shape (same jit-shape
+    policy as the training loop).
+    """
+    infer = jax.jit(lambda p, x: jnp.argmax(classifier_apply(p, x), axis=-1))
+    n = images.shape[0]
+    correct = 0
+    for start in range(0, n, batch_size):
+        xb = jnp.asarray(images[start: start + batch_size])
+        divisible = mesh is not None and xb.shape[0] % mesh.devices.size == 0
+        xb = shard_batch(xb, mesh if divisible else None)
+        pred = np.asarray(infer(params, xb))
+        correct += int((pred == np.asarray(labels[start: start + batch_size])).sum())
+    return correct / max(n, 1)
+
+
+def train_classifier(
+    images,
+    labels,
+    *,
+    num_classes: int = 19,
+    num_epochs: int = 8,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-2,
+    freeze_body: bool = True,
+    schedule: str = "onecycle",
+    bn_momentum: float = 0.1,
+    val_fraction: float = 0.2,
+    seed: int = 2,
+    params: dict | None = None,
+    mesh=None,
+    wordy: bool = True,
+    metrics_path: str | None = None,
+) -> tuple[dict, dict]:
+    """Train the artist classifier; returns ``(best_params, history)``.
+
+    ``images``: (N, H, W, 3) float32 RGB torchvision-normalized NHWC —
+    exactly what ``data.get_painting_dataset(for_classifier=True)`` yields
+    (reference dataset.py:201-221 semantics). ``labels``: (N,) int artist
+    indices. ``params=None`` starts from random init; pass an imported
+    pytree (``utils.torch_import.classifier_params_from_torch``) to
+    fine-tune a pretrained model instead.
+
+    ``best_params`` is the highest-validation-accuracy snapshot (ties: the
+    earliest), falling back to the final params when there is no validation
+    split. ``history`` has per-epoch train loss/acc and val acc.
+    """
+    images = np.asarray(images, np.float32)
+    labels = np.asarray(labels, np.int32)
+    n = images.shape[0]
+    train_idx, val_idx = _split_train_val(n, val_fraction, seed)
+    if len(train_idx) < batch_size:
+        raise ValueError(
+            f"train split ({len(train_idx)}) smaller than batch_size ({batch_size})"
+        )
+    steps_per_epoch = len(train_idx) // batch_size  # drop-last, fastai-style
+
+    if params is None:
+        params = init_classifier_params(jax.random.key(seed), num_classes)
+    tx = make_classifier_optimizer(
+        params, lr, num_epochs * steps_per_epoch, weight_decay, freeze_body,
+        schedule,
+    )
+    if mesh is not None:
+        params = jax.device_put(params, replicated_sharding(mesh))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            logits, stats = classifier_apply_train(p, xb)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, yb
+            ).mean()
+            acc = jnp.mean((jnp.argmax(logits, -1) == yb).astype(jnp.float32))
+            return loss, (stats, acc)
+
+        (loss, (stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = update_running_stats(params, stats, bn_momentum)
+        return params, opt_state, loss, acc
+
+    log = MetricLogger(metrics_path, stdout=wordy)
+    history: dict = {"train_loss": [], "train_acc": [], "val_acc": []}
+    best_acc, best_params = -1.0, params
+    train_images, train_labels = images[train_idx], labels[train_idx]
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        perm = np.asarray(epoch_permutation(seed, epoch, len(train_idx)))
+        ep_loss = ep_acc = 0.0
+        for s in range(steps_per_epoch):
+            idx = perm[s * batch_size: (s + 1) * batch_size]
+            xb = shard_batch(jnp.asarray(train_images[idx]), mesh)
+            yb = shard_batch(jnp.asarray(train_labels[idx]), mesh)
+            params, opt_state, loss, acc = step(params, opt_state, xb, yb)
+            ep_loss += float(loss)
+            ep_acc += float(acc)
+        ep_loss /= steps_per_epoch
+        ep_acc /= steps_per_epoch
+        val_acc = (
+            evaluate_classifier(
+                params, images[val_idx], labels[val_idx], batch_size, mesh
+            )
+            if len(val_idx)
+            else float("nan")
+        )
+        history["train_loss"].append(ep_loss)
+        history["train_acc"].append(ep_acc)
+        history["val_acc"].append(val_acc)
+        log.log(
+            "classifier_epoch", epoch=epoch, train_loss=ep_loss,
+            train_acc=ep_acc, val_acc=val_acc, secs=time.time() - t0,
+        )
+        # fastai SaveModelCallback: keep the best-validation snapshot.
+        if len(val_idx) and val_acc > best_acc:
+            best_acc, best_params = val_acc, params
+    log.close()
+    if not len(val_idx):
+        best_params = params
+    return best_params, history
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    from artist_style_transfer_tpu.data.datasets import get_painting_dataset
+    from artist_style_transfer_tpu.train.checkpoint import (
+        export_classifier_pth,
+        save_params_npz,
+    )
+
+    ap = argparse.ArgumentParser(
+        description="Train the ResNet-50 artist classifier on the painting corpus "
+        "(the upstream workflow behind models/best-2.pth)."
+    )
+    ap.add_argument("--num_epochs", type=int, default=8)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight_decay", type=float, default=1e-2)
+    ap.add_argument("--unfreeze", action="store_true",
+                    help="fine-tune the whole body (default: head+BN only)")
+    ap.add_argument("--schedule", choices=("onecycle", "constant"),
+                    default="onecycle",
+                    help="LR policy: fastai fit_one_cycle (default) or fit")
+    ap.add_argument("--val_fraction", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=2)
+    ap.add_argument("--rescale_height", type=int, default=256)
+    ap.add_argument("--rescale_width", type=int, default=256)
+    ap.add_argument("--init_pth", default=None,
+                    help="warm-start from an existing classifier .pth")
+    ap.add_argument("--out_dir", default="models")
+    ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    args = ap.parse_args(argv)
+
+    images, labels = get_painting_dataset(
+        for_classifier=True,
+        rescale_height=args.rescale_height,
+        rescale_width=args.rescale_width,
+        wordy=True,
+    )
+    params = None
+    if args.init_pth:
+        from artist_style_transfer_tpu.utils.torch_import import (
+            classifier_params_from_torch,
+            load_torch_state_dict,
+        )
+
+        params = classifier_params_from_torch(load_torch_state_dict(args.init_pth))
+    best, history = train_classifier(
+        images, labels,
+        num_epochs=args.num_epochs, batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay, freeze_body=not args.unfreeze,
+        schedule=args.schedule,
+        val_fraction=args.val_fraction, seed=args.seed, params=params,
+        metrics_path=args.metrics,
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    pth = os.path.join(args.out_dir, "best-2.pth")
+    export_classifier_pth(pth, best)
+    save_params_npz(os.path.join(args.out_dir, "classifier.npz"), best)
+    print(f"best val acc {max(history['val_acc']):.4f}; exported {pth}")
+
+
+if __name__ == "__main__":
+    main()

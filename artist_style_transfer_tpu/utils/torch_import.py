@@ -188,3 +188,49 @@ def transformer_params_to_torch(params: dict) -> dict[str, np.ndarray]:
         put_deconv(f"DeconvBlock.{idx}", params["decoder"][i])
     put_conv("DeconvBlock.6", params["output"], norm=False)
     return sd
+
+
+def classifier_params_to_torch(params: dict) -> dict[str, np.ndarray]:
+    """Inverse of :func:`classifier_params_from_torch` — export a trained
+    classifier pytree in the reference ``ArtistClassifier`` state-dict key
+    layout (classifier.py:48-60), so a torch user can
+    ``load_state_dict(sd['model'])`` it as a drop-in ``best-2.pth``.
+
+    Includes each BN's ``num_batches_tracked`` (0) so a strict torch load
+    succeeds.
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    def put_bn(prefix, p):
+        sd[f"{prefix}.weight"] = np.asarray(p["gamma"])
+        sd[f"{prefix}.bias"] = np.asarray(p["beta"])
+        sd[f"{prefix}.running_mean"] = np.asarray(p["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(p["var"])
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def put_conv(key, p):
+        sd[key] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))  # HWIO -> OIHW
+
+    put_conv("0.0.weight", params["stem"]["conv"])
+    put_bn("0.1", params["stem"]["bn"])
+    for s_i, stage in enumerate(params["stages"]):
+        base = f"0.{4 + s_i}"
+        for b, block in enumerate(stage):
+            pre = f"{base}.{b}"
+            put_conv(f"{pre}.conv1.weight", block["conv1"])
+            put_bn(f"{pre}.bn1", block["bn1"])
+            put_conv(f"{pre}.conv2.weight", block["conv2"])
+            put_bn(f"{pre}.bn2", block["bn2"])
+            put_conv(f"{pre}.conv3.weight", block["conv3"])
+            put_bn(f"{pre}.bn3", block["bn3"])
+            if "down_conv" in block:
+                put_conv(f"{pre}.downsample.0.weight", block["down_conv"])
+                put_bn(f"{pre}.downsample.1", block["down_bn"])
+    head = params["head"]
+    put_bn("1.2", head["bn1"])
+    sd["1.4.weight"] = np.asarray(head["fc1"]["w"]).T
+    sd["1.4.bias"] = np.asarray(head["fc1"]["b"])
+    put_bn("1.6", head["bn2"])
+    sd["1.8.weight"] = np.asarray(head["fc2"]["w"]).T
+    sd["1.8.bias"] = np.asarray(head["fc2"]["b"])
+    return sd
