@@ -11,7 +11,9 @@ corpus:
   every BatchNorm affine (fastai ``freeze()``'s ``train_bn=True`` default),
   ``freeze_body=False`` fine-tunes everything;
 - one-cycle cosine LR schedule (``optax.cosine_onecycle_schedule`` — the
-  fastai ``fit_one_cycle`` recipe);
+  fastai ``fit_one_cycle`` recipe) or a constant-LR ``fit``;
+- optional in-graph augmentation (:func:`augment_batch`: random flip +
+  random crop, compiled into the training step — no host-side image ops);
 - training-mode BN via :func:`models.resnet.classifier_apply_train`, with
   torch-momentum running-stat updates. Under a data-parallel mesh the batch
   stats are *global*-batch stats automatically (GSPMD turns the BN reductions
@@ -90,6 +92,29 @@ def make_classifier_optimizer(
     )
 
 
+def augment_batch(key: jax.Array, x: jax.Array, pad: int = 8) -> jax.Array:
+    """Jit-compiled train-time augmentation: per-image random horizontal
+    flip + random crop from a reflect-padded canvas (the flip/zoom core of
+    the fastai ``get_transforms()`` recipe the upstream notebook used).
+
+    Static shapes throughout — the random crop is a vmapped
+    ``lax.dynamic_slice`` over per-image offsets, so the whole thing lives
+    inside the training step's compiled graph (no host-side image ops).
+    """
+    kf, kh, kw = jax.random.split(key, 3)
+    n, h, w, c = x.shape
+    flip = jax.random.bernoulli(kf, 0.5, (n,))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    oh = jax.random.randint(kh, (n,), 0, 2 * pad + 1)
+    ow = jax.random.randint(kw, (n,), 0, 2 * pad + 1)
+
+    def crop(img, yoff, xoff):
+        return jax.lax.dynamic_slice(img, (yoff, xoff, 0), (h, w, c))
+
+    return jax.vmap(crop)(xp, oh, ow)
+
+
 def _split_train_val(n: int, val_fraction: float, seed: int):
     """Deterministic shuffled index split (validation first, like fastai's
     ``RandomSplitter``)."""
@@ -98,15 +123,21 @@ def _split_train_val(n: int, val_fraction: float, seed: int):
     return perm[n_val:], perm[:n_val]
 
 
+@jax.jit
+def _predict(params: dict, x: jax.Array) -> jax.Array:
+    return jnp.argmax(classifier_apply(params, x), axis=-1)
+
+
 def evaluate_classifier(
     params: dict, images, labels, batch_size: int = 64, mesh=None
 ) -> float:
     """Inference-mode accuracy over ``(images, labels)``.
 
     Batched with one ragged tail at its own static shape (same jit-shape
-    policy as the training loop).
+    policy as the training loop). The jitted predictor is module-level so
+    per-epoch validation reuses one compiled executable per batch shape.
     """
-    infer = jax.jit(lambda p, x: jnp.argmax(classifier_apply(p, x), axis=-1))
+    infer = _predict
     n = images.shape[0]
     correct = 0
     for start in range(0, n, batch_size):
@@ -129,6 +160,7 @@ def train_classifier(
     weight_decay: float = 1e-2,
     freeze_body: bool = True,
     schedule: str = "onecycle",
+    augment: bool = False,
     bn_momentum: float = 0.1,
     val_fraction: float = 0.2,
     seed: int = 2,
@@ -171,7 +203,10 @@ def train_classifier(
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, xb, yb):
+    def step(params, opt_state, xb, yb, key):
+        if augment:
+            xb = augment_batch(key, xb)
+
         def loss_fn(p):
             logits, stats = classifier_apply_train(p, xb)
             loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -192,6 +227,9 @@ def train_classifier(
     history: dict = {"train_loss": [], "train_acc": [], "val_acc": []}
     best_acc, best_params = -1.0, params
     train_images, train_labels = images[train_idx], labels[train_idx]
+    # Augmentation stream: deterministic from (seed, global step), disjoint
+    # from the init key (seed) and the shuffle stream (epoch_permutation).
+    aug_key = jax.random.key(seed + 0x5EED)
     for epoch in range(num_epochs):
         t0 = time.time()
         perm = np.asarray(epoch_permutation(seed, epoch, len(train_idx)))
@@ -200,7 +238,8 @@ def train_classifier(
             idx = perm[s * batch_size: (s + 1) * batch_size]
             xb = shard_batch(jnp.asarray(train_images[idx]), mesh)
             yb = shard_batch(jnp.asarray(train_labels[idx]), mesh)
-            params, opt_state, loss, acc = step(params, opt_state, xb, yb)
+            key = jax.random.fold_in(aug_key, epoch * steps_per_epoch + s)
+            params, opt_state, loss, acc = step(params, opt_state, xb, yb, key)
             ep_loss += float(loss)
             ep_acc += float(acc)
         ep_loss /= steps_per_epoch
@@ -251,6 +290,9 @@ def main(argv=None):
     ap.add_argument("--schedule", choices=("onecycle", "constant"),
                     default="onecycle",
                     help="LR policy: fastai fit_one_cycle (default) or fit")
+    ap.add_argument("--augment", action="store_true",
+                    help="in-graph train-time augmentation (random flip + "
+                    "random crop from a reflect-padded canvas)")
     ap.add_argument("--val_fraction", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--rescale_height", type=int, default=256)
@@ -279,7 +321,7 @@ def main(argv=None):
         images, labels,
         num_epochs=args.num_epochs, batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, freeze_body=not args.unfreeze,
-        schedule=args.schedule,
+        schedule=args.schedule, augment=args.augment,
         val_fraction=args.val_fraction, seed=args.seed, params=params,
         metrics_path=args.metrics,
     )

@@ -20,10 +20,36 @@ from artist_style_transfer_tpu.models.resnet import (
 )
 from artist_style_transfer_tpu.ops.norm import batch_norm_train
 from artist_style_transfer_tpu.train.classifier import (
+    augment_batch,
     evaluate_classifier,
     train_classifier,
     trainable_labels,
 )
+
+
+def test_augment_batch_is_flip_crop_of_padded_input():
+    """Every augmented image is exactly one (flip, crop-offset) candidate of
+    the reflect-padded input; deterministic per key, varying across keys."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 6, 5, 3)).astype(np.float32)
+    pad = 2
+    out = np.asarray(augment_batch(jax.random.key(1), jnp.asarray(x), pad=pad))
+    assert out.shape == x.shape
+    np.testing.assert_array_equal(
+        out, np.asarray(augment_batch(jax.random.key(1), jnp.asarray(x), pad=pad))
+    )
+    assert not np.array_equal(
+        out, np.asarray(augment_batch(jax.random.key(2), jnp.asarray(x), pad=pad))
+    )
+    h, w = x.shape[1:3]
+    for i in range(x.shape[0]):
+        candidates = []
+        for img in (x[i], x[i, :, ::-1]):
+            padded = np.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+            for oy in range(2 * pad + 1):
+                for ox in range(2 * pad + 1):
+                    candidates.append(padded[oy: oy + h, ox: ox + w])
+        assert any(np.array_equal(out[i], c) for c in candidates), i
 
 
 def test_batch_norm_train_parity_vs_torch_2d_and_1d():
@@ -141,7 +167,7 @@ def test_train_classifier_freeze_body_semantics():
     params0 = init_classifier_params(jax.random.key(7), num_classes=3)
     best, history = train_classifier(
         images, labels, num_classes=3, num_epochs=1, batch_size=8, lr=1e-3,
-        freeze_body=True, val_fraction=0.25, seed=2,
+        freeze_body=True, augment=True, val_fraction=0.25, seed=2,
         params=jax.tree.map(lambda a: a, params0), wordy=False,
     )
     assert np.isfinite(history["train_loss"][0])
