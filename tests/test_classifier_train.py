@@ -192,9 +192,11 @@ def test_train_classifier_mesh_matches_single_device():
     from artist_style_transfer_tpu.parallel.mesh import make_mesh
 
     images, labels = _separable_data(n_per_class=8, size=32)
+    # augment=True also checks the in-graph RNG: threefry results are
+    # sharding-invariant, so the augmented DP trajectory must still match.
     kwargs = dict(
         num_classes=3, num_epochs=1, batch_size=8, lr=1e-3,
-        freeze_body=True, val_fraction=0.25, seed=2, wordy=False,
+        freeze_body=True, augment=True, val_fraction=0.25, seed=2, wordy=False,
     )
     params0 = init_classifier_params(jax.random.key(3), num_classes=3)
     p_single, h_single = train_classifier(
