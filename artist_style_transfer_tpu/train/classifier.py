@@ -25,6 +25,7 @@ corpus:
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -38,7 +39,11 @@ from artist_style_transfer_tpu.models.resnet import (
     init_classifier_params,
     update_running_stats,
 )
-from artist_style_transfer_tpu.parallel.mesh import replicated_sharding, shard_batch
+from artist_style_transfer_tpu.parallel.mesh import (
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
 from artist_style_transfer_tpu.train.loop import epoch_permutation
 from artist_style_transfer_tpu.utils.logging import MetricLogger
 
@@ -66,6 +71,23 @@ def trainable_labels(params: dict, freeze_body: bool) -> dict:
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def weight_decay_mask(params) -> dict:
+    """True only for conv/linear weight matrices ('w' leaves).
+
+    fastai's ``Learner`` default ``wd_bn_bias=False`` excludes norm-layer
+    affines and biases from weight decay; this mask reproduces that for the
+    ``optax.adamw`` decay term. Path-based, so it also works on the
+    ``MaskedNode`` pytrees ``optax.multi_transform`` hands the inner
+    transform.
+    """
+
+    def f(path, _leaf):
+        parts = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        return parts[-1] == "w"
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def make_classifier_optimizer(
     params: dict,
     lr: float,
@@ -86,7 +108,8 @@ def make_classifier_optimizer(
     else:
         raise ValueError(f"unknown schedule {schedule!r}")
     return optax.multi_transform(
-        {"train": optax.adamw(sched, weight_decay=weight_decay),
+        {"train": optax.adamw(sched, weight_decay=weight_decay,
+                              mask=weight_decay_mask),
          "freeze": optax.set_to_zero()},
         trainable_labels(params, freeze_body),
     )
@@ -192,62 +215,87 @@ def train_classifier(
         )
     steps_per_epoch = len(train_idx) // batch_size  # drop-last, fastai-style
 
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must divide over the "
+            f"{mesh.devices.size}-device mesh"
+        )
     if params is None:
         params = init_classifier_params(jax.random.key(seed), num_classes)
+    else:
+        # The epoch step donates its param buffers; copy so the caller's
+        # pytree stays alive.
+        params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     tx = make_classifier_optimizer(
         params, lr, num_epochs * steps_per_epoch, weight_decay, freeze_body,
         schedule,
     )
-    if mesh is not None:
-        params = jax.device_put(params, replicated_sharding(mesh))
+    rep = replicated_sharding(mesh) if mesh is not None else None
+    if rep is not None:
+        params = jax.device_put(params, rep)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, xb, yb, key):
-        if augment:
-            xb = augment_batch(key, xb)
+    # Device-resident corpus, replicated across the mesh; each epoch is ONE
+    # compiled lax.scan (the style trainer's zero-host-traffic design,
+    # train/loop.py) — batches gather in-graph from the permutation, the
+    # only per-epoch host traffic is the permutation upload and the scalar
+    # metric fetch.
+    corpus = jax.device_put(jnp.asarray(images[train_idx]), rep)
+    corpus_labels = jax.device_put(jnp.asarray(labels[train_idx]), rep)
+    val_images, val_labels = images[val_idx], labels[val_idx]
 
-        def loss_fn(p):
-            logits, stats = classifier_apply_train(p, xb)
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, yb
-            ).mean()
-            acc = jnp.mean((jnp.argmax(logits, -1) == yb).astype(jnp.float32))
-            return loss, (stats, acc)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, corpus, corpus_labels, perm, epoch_idx, aug_key):
+        def body(carry, s):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, s * batch_size, batch_size)
+            xb = jnp.take(corpus, idx, axis=0)
+            yb = jnp.take(corpus_labels, idx, axis=0)
+            if mesh is not None:
+                xb = jax.lax.with_sharding_constraint(xb, batch_sharding(mesh))
+            if augment:
+                key = jax.random.fold_in(
+                    aug_key, epoch_idx * steps_per_epoch + s
+                )
+                xb = augment_batch(key, xb)
 
-        (loss, (stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
+            def loss_fn(p):
+                logits, stats = classifier_apply_train(p, xb)
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, yb
+                ).mean()
+                acc = jnp.mean((jnp.argmax(logits, -1) == yb).astype(jnp.float32))
+                return loss, (stats, acc)
+
+            (loss, (stats, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = update_running_stats(params, stats, bn_momentum)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps_per_epoch)
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = update_running_stats(params, stats, bn_momentum)
-        return params, opt_state, loss, acc
+        return params, opt_state, jnp.mean(losses), jnp.mean(accs)
 
     log = MetricLogger(metrics_path, stdout=wordy)
     history: dict = {"train_loss": [], "train_acc": [], "val_acc": []}
-    best_acc, best_params = -1.0, params
-    train_images, train_labels = images[train_idx], labels[train_idx]
+    best_acc, best_params = -1.0, None
     # Augmentation stream: deterministic from (seed, global step), disjoint
     # from the init key (seed) and the shuffle stream (epoch_permutation).
     aug_key = jax.random.key(seed + 0x5EED)
     for epoch in range(num_epochs):
         t0 = time.time()
-        perm = np.asarray(epoch_permutation(seed, epoch, len(train_idx)))
-        ep_loss = ep_acc = 0.0
-        for s in range(steps_per_epoch):
-            idx = perm[s * batch_size: (s + 1) * batch_size]
-            xb = shard_batch(jnp.asarray(train_images[idx]), mesh)
-            yb = shard_batch(jnp.asarray(train_labels[idx]), mesh)
-            key = jax.random.fold_in(aug_key, epoch * steps_per_epoch + s)
-            params, opt_state, loss, acc = step(params, opt_state, xb, yb, key)
-            ep_loss += float(loss)
-            ep_acc += float(acc)
-        ep_loss /= steps_per_epoch
-        ep_acc /= steps_per_epoch
+        perm = jnp.asarray(np.asarray(epoch_permutation(seed, epoch, len(train_idx))))
+        params, opt_state, ep_loss, ep_acc = epoch_fn(
+            params, opt_state, corpus, corpus_labels, perm,
+            jnp.int32(epoch), aug_key,
+        )
+        ep_loss, ep_acc = float(ep_loss), float(ep_acc)
         val_acc = (
-            evaluate_classifier(
-                params, images[val_idx], labels[val_idx], batch_size, mesh
-            )
+            evaluate_classifier(params, val_images, val_labels, batch_size, mesh)
             if len(val_idx)
             else float("nan")
         )
@@ -259,10 +307,12 @@ def train_classifier(
             train_acc=ep_acc, val_acc=val_acc, secs=time.time() - t0,
         )
         # fastai SaveModelCallback: keep the best-validation snapshot.
+        # Copied: the next epoch donates the live params' buffers.
         if len(val_idx) and val_acc > best_acc:
-            best_acc, best_params = val_acc, params
+            best_acc = val_acc
+            best_params = jax.tree.map(jnp.copy, params)
     log.close()
-    if not len(val_idx):
+    if best_params is None:
         best_params = params
     return best_params, history
 
@@ -300,8 +350,22 @@ def main(argv=None):
     ap.add_argument("--init_pth", default=None,
                     help="warm-start from an existing classifier .pth")
     ap.add_argument("--out_dir", default="models")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow overwriting an existing best-2.pth")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard batches over all local devices (batch_size "
+                    "must divide the device count)")
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     args = ap.parse_args(argv)
+
+    from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mesh = None
+    if args.data_parallel:
+        from artist_style_transfer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
 
     images, labels = get_painting_dataset(
         for_classifier=True,
@@ -323,13 +387,24 @@ def main(argv=None):
         weight_decay=args.weight_decay, freeze_body=not args.unfreeze,
         schedule=args.schedule, augment=args.augment,
         val_fraction=args.val_fraction, seed=args.seed, params=params,
-        metrics_path=args.metrics,
+        mesh=mesh, metrics_path=args.metrics,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     pth = os.path.join(args.out_dir, "best-2.pth")
+    if os.path.exists(pth) and not args.overwrite:
+        # Never clobber an existing artifact by default — best-2.pth is the
+        # pretrained checkpoint every other subsystem loads.
+        pth = os.path.join(args.out_dir, "best-2-retrained.pth")
+        print(f"best-2.pth exists; writing {pth} (use --overwrite to replace)")
     export_classifier_pth(pth, best)
     save_params_npz(os.path.join(args.out_dir, "classifier.npz"), best)
-    print(f"best val acc {max(history['val_acc']):.4f}; exported {pth}")
+    if args.val_fraction > 0:
+        print(f"best val acc {max(history['val_acc']):.4f}; exported {pth}")
+    else:
+        print(
+            f"no validation split; final train acc "
+            f"{history['train_acc'][-1]:.4f}; exported {pth}"
+        )
 
 
 if __name__ == "__main__":
