@@ -9,6 +9,7 @@ from artist_style_transfer_tpu.infer.stylize import (  # noqa: F401
     load_transfer_params,
     stylize,
     stylize_batched,
+    stylize_int8,
     stylize_spatial,
 )
 from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier  # noqa: F401

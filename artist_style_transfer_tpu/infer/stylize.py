@@ -35,6 +35,26 @@ def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("clip",))
+def stylize_int8(qparams, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
+    """Int8-MXU stylize: NHWC BGR [0,255] -> NHWC BGR (uint8 if clip).
+
+    Serving fast path: same contract as :func:`stylize` but dispatching
+    the quantized forward (models/transformer_q.py — 16 interior convs on
+    the int8 MXU, bf16 accumulator materialization). Measured 1.4x the
+    bf16 fold path at the 512x512 b128 headline config at ~63 dB PSNR vs
+    the f32 parity output (tests/test_quant.py locks >45 dB) — far above
+    the 35 dB parity bar. ``qparams`` comes from
+    :func:`artist_style_transfer_tpu.models.transformer_q.quantize_transformer`.
+    """
+    from artist_style_transfer_tpu.models.transformer_q import transformer_apply_int8
+
+    out = transformer_apply_int8(qparams, images_bgr_255, accum=jnp.bfloat16)
+    if clip:
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 255.0).astype(jnp.uint8)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _stylize_spatial_fn(mesh, clip: bool):
     from jax.sharding import NamedSharding, PartitionSpec as P

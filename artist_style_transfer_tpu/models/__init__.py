@@ -11,6 +11,11 @@ from artist_style_transfer_tpu.models.transformer import (  # noqa: F401
     transformer_apply,
     TRANSFORMER_PARAM_COUNT,
 )
+from artist_style_transfer_tpu.models.transformer_q import (  # noqa: F401
+    calibrate_transformer,
+    quantize_transformer,
+    transformer_apply_int8,
+)
 from artist_style_transfer_tpu.models.vgg import (  # noqa: F401
     init_vgg16_params,
     vgg16_features,

@@ -63,6 +63,16 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     Iterations are CHAINED (each step consumes the previous output) so the
     measurement reflects real device execution — independent async dispatches
     can otherwise overlap/queue in ways that make the wall-clock meaningless.
+
+    Dispatch order mirrors the serving fast paths, falling back if a leg
+    ever fails to compile on a new toolchain (the bench must always
+    produce a number):
+      1. int8-MXU quantized net (infer.stylize_int8; ~64 dB PSNR vs the
+         f32 parity path on the golden net, tests/test_quant.py);
+      2. bf16 batch->H folded path (~90 dB PSNR);
+      3. direct bf16.
+    All are far above the 35 dB parity bar; the f32 'highest' parity mode
+    is covered by tests.
     """
     import jax
     import jax.numpy as jnp
@@ -72,17 +82,16 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
         init_transformer_params,
         transformer_apply,
     )
+    from artist_style_transfer_tpu.models.transformer_q import (
+        quantize_transformer,
+        transformer_apply_int8,
+    )
     from artist_style_transfer_tpu.ops.precision import set_precision
 
-    # Throughput path: bf16 activations/params on the MXU. Measured quality:
-    # 90+ dB PSNR vs the f64 torch oracle on real images (instance norm keeps
-    # per-layer scales tame and stats are computed in f32) — far above the
-    # 35 dB parity bar. The f32 'highest' parity mode is covered by tests.
     set_precision("default")
 
-    params = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16), init_transformer_params(jax.random.key(0))
-    )
+    params = init_transformer_params(jax.random.key(0))
+    params_bf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = jnp.asarray(
         (np.random.default_rng(0).random((batch_size, SIZE, SIZE, 3)) * 255),
         jnp.bfloat16,
@@ -90,38 +99,63 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2, 3))
-    def chain(params, x, n, fold):
-        def body(y, _):
-            # keep values bounded across the chain, like repeated stylization
-            # (fold_batch matches the production stylize path, infer/stylize.py)
-            y = jnp.clip(transformer_apply(params, y, fold_batch=fold), 0.0, 255.0)
-            return y, None
+    def make_chain(apply):
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def chain(p, x, n):
+            def body(y, _):
+                # keep values bounded across the chain, like repeated
+                # stylization
+                y = jnp.clip(apply(p, y), 0.0, 255.0).astype(x.dtype)
+                return y, None
 
-        y, _ = jax.lax.scan(body, x, None, length=n)
-        # Return a scalar: fetching the full output would measure the
-        # host<->device link, not the chip. A device_get of the scalar is
-        # the only reliable completion barrier on relayed backends (where
-        # block_until_ready returns early).
-        return jnp.sum(y)
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            # Return a scalar: fetching the full output would measure the
+            # host<->device link, not the chip. A device_get of the scalar
+            # is the only reliable completion barrier on relayed backends
+            # (where block_until_ready returns early).
+            return jnp.sum(y[:1, :1, :1, :].astype(jnp.float32))
 
-    # The batch->H folded path is the production stylize configuration;
-    # fall back to the direct path if it ever fails to compile on a new
-    # toolchain (the bench must always produce a number).
+        return chain
+
+    legs = []
     try:
-        float(chain(params, x, 1, True))
-        fold_mode = True
+        calib = jnp.asarray(
+            np.random.default_rng(1).random((2, 256, 256, 3)) * 255, jnp.float32
+        )
+        legs.append(
+            (
+                quantize_transformer(params, calib),
+                make_chain(
+                    functools.partial(transformer_apply_int8, accum=jnp.bfloat16)
+                ),
+            )
+        )
     except Exception:
-        fold_mode = False
-    chain = functools.partial(chain, fold=fold_mode)
+        pass
+    legs.append(
+        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=True)))
+    )
+    legs.append(
+        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=False)))
+    )
 
-    float(chain(params, x, 1))  # compile + warm both lengths
-    float(chain(params, x, iters))
+    for p, chain in legs:
+        try:
+            float(chain(p, x, 1))
+            chain = functools.partial(chain, p)
+            break
+        except Exception:
+            continue
+    else:
+        raise RuntimeError("no stylize leg compiled")
+
+    float(chain(x, 1))  # compile + warm both lengths
+    float(chain(x, iters))
     t0 = time.perf_counter()
-    float(chain(params, x, 1))
+    float(chain(x, 1))
     d1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(chain(params, x, iters))
+    float(chain(x, iters))
     dn = time.perf_counter() - t0
     # Difference removes the constant dispatch/RPC overhead.
     dt = (dn - d1) / (iters - 1)

@@ -272,3 +272,44 @@ def test_server_ctor_validation(params):
             srv.submit(np.zeros((8, 8, 3), np.uint8), model="a")
     finally:
         srv.close()
+
+
+def test_quantized_registry_serving(params):
+    """quantize=True registries serve through the int8 path (stylize_int8)."""
+    from artist_style_transfer_tpu.infer.serve import ModelRegistry, _is_quantized
+    from artist_style_transfer_tpu.infer.stylize import stylize_int8
+
+    reg = ModelRegistry(quantize=True)
+    reg.register("a", params=params)
+    qp = reg.get("a")
+    assert _is_quantized(qp) and not _is_quantized(params)
+
+    rng = np.random.default_rng(3)
+    imgs = [_img(rng, 32, 32) for _ in range(3)]
+    srv = StylizeServer(registry=reg, max_batch=4, max_wait_ms=20.0)
+    try:
+        outs = [srv.submit(im, model="a").result(timeout=120) for im in imgs]
+    finally:
+        srv.close()
+    direct = np.asarray(stylize_int8(qp, jnp.asarray(np.stack(imgs))))
+    for got, want in zip(outs, direct):
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want)
+
+
+def test_quantized_single_tenant_server(params):
+    """Pre-quantized params work directly in a single-tenant server."""
+    from artist_style_transfer_tpu.models.transformer_q import quantize_transformer
+
+    calib = jnp.asarray(
+        np.random.default_rng(1).random((2, 64, 64, 3)) * 255, jnp.float32
+    )
+    qp = quantize_transformer(params, calib)
+    rng = np.random.default_rng(4)
+    im = _img(rng, 32, 32)
+    srv = StylizeServer(qp, max_batch=2, max_wait_ms=5.0)
+    try:
+        out = srv.submit(im).result(timeout=120)
+    finally:
+        srv.close()
+    assert out.shape == im.shape and out.dtype == np.uint8
