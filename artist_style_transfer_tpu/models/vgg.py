@@ -28,6 +28,7 @@ from artist_style_transfer_tpu.ops.conv import (
     relu_fast,
     relu_max_pool2x2_fast,
 )
+from artist_style_transfer_tpu.ops.qconv import conv2d_frozen_int8
 from artist_style_transfer_tpu.ops.precision import get_precision
 
 VGG_LAYER_NAMES = ("relu1_2", "relu2_2", "relu3_3", "relu4_3")
@@ -166,6 +167,58 @@ def fold_batch_ok(x_shape) -> bool:
     return x_shape[1] % 4 == 0 and x_shape[2] % 4 == 0
 
 
+def vgg_is_quantized(params) -> bool:
+    """True for param lists produced by :func:`quantize_vgg16_loss`."""
+    return isinstance(params, (list, tuple)) and any("wq" in p for p in params)
+
+
+def quantize_vgg16_loss(
+    params: list[dict], layers: str | int = "deep", dtype=jnp.bfloat16
+) -> list[dict]:
+    """Quantize the frozen VGG's convs to int8 for the training-loss path.
+
+    VGG is always frozen here (reference train_cnn.py:60-61), so both its
+    forward and its data gradient can run on the int8 MXU — see
+    :mod:`artist_style_transfer_tpu.ops.qconv` for the scheme and the STE
+    backward. ``layers`` selects which convs are quantized:
+
+    - ``"deep"``: conv3_1..conv4_3 — the compute-bound 64% of the VGG
+      FLOPs at 56^2/28^2, where int8 is a pure MXU-rate win and the
+      dynamic-scale quant passes touch only small tensors. The relu1_2 /
+      relu2_2 taps (content loss + the two shallow gram terms) stay exact
+      bf16.
+    - ``"all"``: every conv except conv1_1 (C_in=3 int8 pads ~40x on this
+      toolchain — see models/transformer_q.py; it keeps the factored bf16
+      frozen path).
+
+    Unquantized convs keep real weights cast to ``dtype`` (the training
+    compute dtype); quantized convs carry int8 ``wq`` + f32 per-channel
+    ``sw`` and f32 bias. The result is a drop-in replacement for the f32
+    params everywhere :func:`vgg16_features` is used (style-target
+    builders, content-feature precompute, the train step), which keeps the
+    loss a consistent metric: targets and generated images pass through
+    the SAME quantized extractor.
+
+    An integer ``layers`` selects the first quantized conv index directly
+    (0 = conv1_1 .. 9 = conv4_3; conv1_1 is never quantized).
+    """
+    from artist_style_transfer_tpu.ops.qconv import quant_weight
+
+    first_q = (
+        max(1, int(layers))
+        if not isinstance(layers, str)
+        else {"deep": 4, "all": 1}[layers]
+    )
+    out = []
+    for i, p in enumerate(params):
+        if i < first_q:
+            out.append({"w": p["w"].astype(dtype), "b": p["b"].astype(dtype)})
+        else:
+            wq, sw = quant_weight(p["w"])
+            out.append({"wq": wq, "sw": sw, "b": p["b"].astype(jnp.float32)})
+    return out
+
+
 def vgg16_features(
     params: list[dict],
     x: jax.Array,
@@ -179,8 +232,15 @@ def vgg16_features(
     relu4_3 otherwise (train_cnn.py:76-77).
     """
     taps: dict[str, jax.Array] = {}
+    if vgg_is_quantized(params):
+        # The quantized extractor is self-contained: it runs in the dtype
+        # its real-unit leaves were materialized in (quantize_vgg16_loss's
+        # ``dtype``), whatever the caller feeds it — so style-target
+        # builders (f32 paintings) and the bf16 train step see the SAME
+        # feature function.
+        x = x.astype(params[0]["w"].dtype)
     fast = get_precision() != "highest"
-    if fold_batch and fast and fold_batch_ok(x.shape):
+    if fold_batch and fast and fold_batch_ok(x.shape) and not vgg_is_quantized(params):
         return _vgg16_features_folded(params, x, just_content)
     relu = relu_fast if fast else jax.nn.relu
     conv_i = 0
@@ -196,7 +256,11 @@ def vgg16_features(
             continue
         p = params[conv_i]
         name = _TAP_AFTER_CONV.get(conv_i)
-        if conv_i == 0 and fast:
+        if "wq" in p:
+            # int8-quantized frozen conv (quantize_vgg16_loss): fwd AND the
+            # STE data gradient run on the int8 MXU (ops/qconv.py).
+            pre = conv2d_frozen_int8(x, p["wq"], p["sw"], p["b"], 1)
+        elif conv_i == 0 and fast:
             # VGG is always frozen here (train_cnn.py:60-61); in fast mode
             # route conv1_1 through the frozen-layer op so the gradient back
             # into the generated image avoids the C=3 MXU-lane pathology.

@@ -93,6 +93,11 @@ def train(
     profile_dir: str | None = None,
     log_every_batches: int = 12,  # reference BATCH_INFO_EVERY (train_cnn.py:29)
     reference_typo_stats: bool = False,  # reproduce train_cnn.py:272's 0.546 G mean
+    # Int8-MXU frozen-VGG loss path (ops/qconv.py): True = quantize the
+    # compute-bound deep convs (conv3_1..conv4_3), "all" = every conv but
+    # the stem. Targets, content features, and the train step all use the
+    # same quantized extractor, so the loss stays a consistent metric.
+    quantize_loss: bool | str = False,
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -139,6 +144,17 @@ def train(
         vgg_params = vgg16_params_from_torch(load_torch_state_dict(vgg_path))
     if style_method == "classifier" and classifier_params is None:
         classifier_params = classifier_params_from_torch(load_torch_state_dict(classifier_path))
+    if quantize_loss:
+        from artist_style_transfer_tpu.models.vgg import quantize_vgg16_loss
+
+        # Quantize ONCE here so style targets, the content relu2_2
+        # precompute, and the train step all share the identical int8
+        # extractor (the loss is then exactly zero at a perfect match).
+        vgg_params = quantize_vgg16_loss(
+            vgg_params,
+            layers="deep" if quantize_loss is True else quantize_loss,
+            dtype=jnp.dtype(compute_dtype),
+        )
 
     # --- Content corpus (device-resident for the whole run) ----------------
     if content_stream is not None:

@@ -30,7 +30,11 @@ import jax.numpy as jnp
 import optax
 
 from artist_style_transfer_tpu.models.transformer import transformer_apply
-from artist_style_transfer_tpu.models.vgg import fold_batch_ok, vgg16_features
+from artist_style_transfer_tpu.models.vgg import (
+    fold_batch_ok,
+    vgg16_features,
+    vgg_is_quantized,
+)
 from artist_style_transfer_tpu.models.resnet import classifier_apply
 from artist_style_transfer_tpu.ops.image import (
     bgr_to_rgb,
@@ -179,11 +183,20 @@ def make_step_fns(
         and _mesh_size(mesh) > 1
         and batch_size % mesh.devices.size == 0
     )
+    # Quantized (int8) loss-path VGG params pass through untouched: their
+    # int8/scale leaves must not be cast, and their real-unit leaves were
+    # already materialized in the compute dtype by quantize_vgg16_loss.
+    vgg_quant = vgg_is_quantized(vgg_params)
     vgg_compute = (
         jax.tree.map(lambda a: a.astype(cdtype), vgg_params)
-        if cdtype != jnp.float32
+        if cdtype != jnp.float32 and not vgg_quant
         else vgg_params
     )
+    if vgg_quant and fold_batch is True:
+        raise NotImplementedError(
+            "fold_batch training is not supported with a quantized loss "
+            "extractor (quantize_loss): the folded VGG path is bf16-only"
+        )
 
     def _make_loss_fn(fold: bool):
         # Rematerialization trades recompute FLOPs for activation memory —

@@ -40,6 +40,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = mixed-precision throughput mode")
+    p.add_argument("--precision", default=None,
+                   choices=["highest", "default"],
+                   help="matmul/conv precision policy (ops/precision.py); "
+                        "unset = highest with float32, default (fast MXU "
+                        "paths) with bfloat16")
+    p.add_argument("--quantize_loss", nargs="?", const="deep", default=None,
+                   choices=["deep", "all"],
+                   help="run the frozen-VGG loss extractor on the int8 MXU "
+                        "(ops/qconv.py); 'deep' = conv3_1..conv4_3 only")
     p.add_argument("--log_every_batches", type=int, default=12,
                    help="per-batch loss records in metrics.jsonl (0 = off); "
                         "reference BATCH_INFO_EVERY")
@@ -54,6 +63,13 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     initialize_multihost()  # no-op when single-process
+    from artist_style_transfer_tpu.ops.precision import set_precision
+
+    prec = args.precision
+    if prec is None:
+        # bf16 runs want the fast MXU paths; f32 keeps exact torch parity.
+        prec = "default" if args.compute_dtype == "bfloat16" else "highest"
+    set_precision(prec)
     mesh = None
     if args.data_parallel:
         from artist_style_transfer_tpu.parallel import make_mesh
@@ -85,6 +101,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         compute_dtype=args.compute_dtype,
         log_every_batches=args.log_every_batches,
+        quantize_loss=args.quantize_loss or False,
         wordy=not args.quiet,
     )
 

@@ -163,7 +163,8 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
 
 def measure_train_cycle_throughput(
-    batch_size: int = 128, train_size: int = 224, fold_batch="auto"
+    batch_size: int = 128, train_size: int = 224, fold_batch="auto",
+    quantize_loss=False,
 ) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
@@ -196,6 +197,14 @@ def measure_train_cycle_throughput(
         paintings = (rng.random((4, train_size, train_size, 3)) * 255).astype(np.float32)
         params = init_transformer_params(jax.random.key(0))
         vgg_params = init_vgg16_params(jax.random.key(1))
+        if quantize_loss:
+            from artist_style_transfer_tpu.models.vgg import quantize_vgg16_loss
+
+            vgg_params = quantize_vgg16_loss(
+                vgg_params,
+                layers="deep" if quantize_loss is True else quantize_loss,
+                dtype=jnp.bfloat16,
+            )
         targets = build_style_targets(
             "cycle", vgg_params, "bench", paintings=paintings, batch_size=batch_size
         )
@@ -370,7 +379,13 @@ def main() -> None:
     if "--train" in sys.argv:
         # "auto" resolves to the direct (unfolded) path — the batch->H fold
         # measured 3x slower for training on chip (see train/loop.py).
-        value = measure_train_cycle_throughput()
+        # --quantize-loss [deep|all]: int8-MXU frozen-VGG loss path.
+        ql = False
+        if "--quantize-loss" in sys.argv:
+            i = sys.argv.index("--quantize-loss")
+            nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+            ql = nxt if nxt in ("deep", "all") else True
+        value = measure_train_cycle_throughput(quantize_loss=ql)
         print(
             json.dumps(
                 {
