@@ -126,3 +126,131 @@ def _q_bwd(padding, res, dy):
 
 
 conv2d_frozen_int8.defvjp(_q_fwd, _q_bwd)
+
+
+# ---------------------------------------------------------------------------
+# QAT conv for TRAINED layers (the TransformerNet interior convs).
+# ---------------------------------------------------------------------------
+
+
+def _dgrad_pad(i_size: int, o_size: int, k: int, stride: int, lhs_d: int,
+               lo: int) -> tuple[int, int]:
+    """Padding pair for the data-gradient conv of a forward
+    ``conv(x, w, window_strides=stride, padding=(lo, hi), lhs_dilation=lhs_d)``.
+
+    The dgrad runs ``conv(dy, flipT(w), window_strides=lhs_d,
+    padding=(k-1-lo, p_hi), lhs_dilation=stride)``; ``p_hi`` is solved so the
+    output spatial size equals the forward input's ``i_size`` exactly:
+    ``floor((stride*(o-1)+1 + p_lo + p_hi - k)/lhs_d) + 1 == i`` with the
+    numerator made exactly divisible.
+    """
+    p_lo = k - 1 - lo
+    dil_o = stride * (o_size - 1) + 1
+    p_hi = lhs_d * (i_size - 1) + k - dil_o - p_lo
+    return p_lo, p_hi
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv2d_qat_int8(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    stride: int = 1,
+    padding: tuple = ((0, 0), (0, 0)),
+    lhs_dilation: int = 1,
+) -> jax.Array:
+    """Int8-MXU convolution of a TRAINED layer (QAT, straight-through).
+
+    Forward: symmetric dynamic per-tensor activation quantization +
+    per-output-channel weight quantization, int8 conv, dequantize, + bias —
+    i.e. ``conv(dequant(quant(x)), dequant(quant(w))) + b`` computed on the
+    int8 MXU (2x bf16 macs/cycle, half the operand bytes). Covers the three
+    conv classes of the TransformerNet interior (reference cnn.py:15-38):
+    stride-1/2 zero-padded convs (callers reflect-pad outside — the pad
+    fuses with the quantize into one int8-producing fusion) and the
+    lhs-dilated ConvTranspose2d formulation (``lhs_dilation=stride`` with
+    the pre-flipped HWIO weights, see :func:`ops.conv.conv_transpose2d`).
+
+    Backward (straight-through estimator through both quantizers):
+
+    - ``dw``/``db`` are the EXACT real-dtype gradients of the dequantized
+      forward — the weight gradient contracts the dequantized int8 input
+      residual (``xq * s_x``; the int8 residual also halves the saved
+      activation bytes vs the bf16 path) against ``dy`` on the bf16 MXU,
+      so weight updates see no gradient quantization noise;
+    - ``dx`` runs as a second int8 conv: the per-channel weight scales fold
+      into the cotangent (exact), which is then dynamically quantized —
+      the same scheme :func:`conv2d_frozen_int8` uses for the frozen VGG.
+
+    Quality rationale: every quantized conv feeds an InstanceNorm, which
+    re-centers and re-scales per channel, so forward quantization error is
+    rounding noise (never bias) — measured ~64 dB PSNR on the int8 serving
+    path (models/transformer_q.py) and <=0.5% relative trajectory deviation
+    in training (tests/test_qat.py, BENCH_NOTES).
+    """
+    return _qat_fwd(x, w, b, stride, padding, lhs_dilation)[0]
+
+
+def _conv_cfg(xq, wq, stride, padding, lhs_d, accum=jnp.int32):
+    return jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride, stride),
+        padding=padding,
+        lhs_dilation=(lhs_d, lhs_d) if lhs_d != 1 else None,
+        dimension_numbers=_DN,
+        preferred_element_type=accum,
+    )
+
+
+def _qat_fwd(x, w, b, stride, padding, lhs_dilation):
+    s_x = absmax_scale(x)
+    xq = quant_i8(x, s_x)
+    wq, sw = quant_weight(w)
+    acc = _conv_cfg(xq, wq, stride, padding, lhs_dilation)
+    y = acc.astype(jnp.float32) * (s_x * sw) + b
+    # dtype witnesses: bwd must emit cotangents in the primal dtypes.
+    wit = (jnp.zeros((), w.dtype), jnp.zeros((), b.dtype))
+    return y.astype(x.dtype), (xq, s_x, wq, sw, wit)
+
+
+def _qat_bwd(stride, padding, lhs_dilation, res, dy):
+    xq, s_x, wq, sw, (w_wit, b_wit) = res
+    k = wq.shape[0]
+
+    # Weight/bias gradients: exact real-dtype wgrad against the dequantized
+    # int8 input residual (STE through the weight quantizer). Delegating the
+    # conv transposition to jax.vjp of the (linear-in-w) forward conv keeps
+    # every stride/dilation case correct by construction; the unused primal
+    # output is dead code XLA removes.
+    cdt = dy.dtype
+    xhat = (xq.astype(jnp.float32) * s_x).astype(cdt)
+
+    def conv_w(wv):
+        return _conv_cfg(
+            xhat, wv, stride, padding, lhs_dilation,
+            accum=jnp.float32 if cdt == jnp.float32 else cdt,
+        )
+
+    _, pull = jax.vjp(conv_w, jnp.zeros(wq.shape, cdt))
+    (dw,) = pull(dy)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2))
+
+    # Data gradient on the int8 MXU: fold per-channel weight scales into the
+    # cotangent (exact — they factor out of the C_out contraction), quantize
+    # dynamically, run the transposed conv in int8.
+    dyp = dy.astype(jnp.float32) * sw
+    s_dy = absmax_scale(dyp)
+    w_t = jnp.transpose(wq[::-1, ::-1], (0, 1, 3, 2))
+    pads = tuple(
+        _dgrad_pad(i, o, k, stride, lhs_dilation, p[0])
+        for i, o, p in zip(xq.shape[1:3], dy.shape[1:3], padding)
+    )
+    acc = _conv_cfg(
+        quant_i8(dyp, s_dy), w_t, lhs_dilation, pads, stride
+    )
+    dx = (acc.astype(jnp.float32) * s_dy).astype(dy.dtype)
+    return dx, dw.astype(w_wit.dtype), db.astype(b_wit.dtype)
+
+
+conv2d_qat_int8.defvjp(_qat_fwd, _qat_bwd)

@@ -98,6 +98,12 @@ def train(
     # the stem. Targets, content features, and the train step all use the
     # same quantized extractor, so the loss stays a consistent metric.
     quantize_loss: bool | str = False,
+    # Int8-MXU QAT transformer forward (models/transformer_qat.py): interior
+    # convs run int8 fwd + int8 STE data gradient; weight gradients stay
+    # exact real-dtype. True/'trunk' = the 12 quarter-res 128-channel convs
+    # (the measured throughput win); 'all' = every interior conv (matches
+    # the int8 serving numerics of infer.stylize_int8 most closely).
+    qat: bool | str = False,
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -251,6 +257,7 @@ def train(
         fold_batch=fold_batch,
         remat=remat,
         reference_typo_stats=reference_typo_stats,
+        qat=qat,
     )
 
     content_r22 = None

@@ -116,6 +116,7 @@ def make_step_fns(
     remat: bool = False,
     reference_typo_stats: bool = False,
     fold_batch: str | bool = "auto",
+    qat: bool | str = False,
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
@@ -197,12 +198,28 @@ def make_step_fns(
             "fold_batch training is not supported with a quantized loss "
             "extractor (quantize_loss): the folded VGG path is bf16-only"
         )
+    if qat and fold_batch is True:
+        raise NotImplementedError(
+            "qat training uses the int8 transformer forward, which has no "
+            "batch->H folded variant; use fold_batch='auto' (direct path)"
+        )
 
     def _make_loss_fn(fold: bool):
         # Rematerialization trades recompute FLOPs for activation memory —
         # worthwhile here because training is HBM-bound with MXU headroom,
         # so the freed memory buys a larger (better-utilizing) batch.
         def _tr_apply(p, x):
+            if qat:
+                # Int8-MXU QAT forward/STE backward (models/transformer_qat):
+                # the trained net's interior convs ride the int8 MXU like the
+                # quantize_loss VGG does; weight grads stay exact real-dtype.
+                from artist_style_transfer_tpu.models.transformer_qat import (
+                    transformer_apply_qat,
+                )
+
+                return transformer_apply_qat(
+                    p, x, layers="trunk" if qat is True else qat
+                )
             return transformer_apply(p, x, fold_batch=fold)
 
         tr_apply = jax.checkpoint(_tr_apply) if remat else _tr_apply

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["deep", "all"],
                    help="run the frozen-VGG loss extractor on the int8 MXU "
                         "(ops/qconv.py); 'deep' = conv3_1..conv4_3 only")
+    p.add_argument("--qat", nargs="?", const="trunk", default=None,
+                   choices=["trunk", "all"],
+                   help="int8-MXU QAT transformer forward/STE backward "
+                        "(models/transformer_qat.py); 'trunk' = the 12 "
+                        "quarter-res 128-channel convs (the measured win), "
+                        "'all' = every interior conv")
     p.add_argument("--log_every_batches", type=int, default=12,
                    help="per-batch loss records in metrics.jsonl (0 = off); "
                         "reference BATCH_INFO_EVERY")
@@ -102,6 +108,7 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         log_every_batches=args.log_every_batches,
         quantize_loss=args.quantize_loss or False,
+        qat=args.qat or False,
         wordy=not args.quiet,
     )
 

@@ -164,7 +164,7 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
 def measure_train_cycle_throughput(
     batch_size: int = 128, train_size: int = 224, fold_batch="auto",
-    quantize_loss=False,
+    quantize_loss=False, qat=False,
 ) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
@@ -217,6 +217,7 @@ def measure_train_cycle_throughput(
             # enough HBM that b96 fits without it, and the recomputed
             # forward costs ~40 ms/step (round-2 profiling).
             compute_dtype="bfloat16", remat=False, fold_batch=fold_batch,
+            qat=qat,
         )
         r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)
@@ -385,7 +386,14 @@ def main() -> None:
             i = sys.argv.index("--quantize-loss")
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
             ql = nxt if nxt in ("deep", "all") else True
-        value = measure_train_cycle_throughput(quantize_loss=ql)
+        # --qat [trunk|all]: int8-MXU QAT transformer fwd/STE bwd
+        # (models/transformer_qat.py; 'trunk' is the measured win).
+        qat = False
+        if "--qat" in sys.argv:
+            i = sys.argv.index("--qat")
+            nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
+            qat = nxt if nxt in ("trunk", "all") else True
+        value = measure_train_cycle_throughput(quantize_loss=ql, qat=qat)
         print(
             json.dumps(
                 {
