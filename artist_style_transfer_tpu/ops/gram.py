@@ -79,6 +79,81 @@ def _gram_xla_diff(features_nhwc: jax.Array) -> jax.Array:
 _gram_xla_diff.defvjp(lambda f: (_gram_xla_diff(f), f), _gram_bwd_impl)
 
 
+# ---------------------------------------------------------------------------
+# Int8-MXU gram for the quantized training-loss path (ops/qconv scheme).
+# ---------------------------------------------------------------------------
+
+
+def _gram_int8_fwd(f):
+    """G ~= s_f^2 (Fq Fq^T) / (C*H*W) with dynamic per-tensor int8 features.
+
+    Uses the SAME ``absmax_scale``/``quant_i8`` expressions as
+    :func:`ops.qconv.conv2d_frozen_int8`, so when the tap also feeds a
+    quantized conv (relu3_3 -> conv4_1) XLA CSEs the two quantizations into
+    one int8-producing pass.
+    """
+    from artist_style_transfer_tpu.ops.qconv import absmax_scale, quant_i8
+
+    n, h, w, c = f.shape
+    s_f = absmax_scale(f)
+    fq = quant_i8(f, s_f)
+    acc = jax.lax.dot_general(
+        fq,
+        fq,
+        dimension_numbers=(((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    g = acc.astype(jnp.float32) * (s_f * s_f / float(c * h * w))
+    return g, (fq, s_f, jnp.zeros((), f.dtype))
+
+
+def _gram_int8_bwd(res, dg):
+    """STE data gradient of the int8 gram: dF = (Fq s_f) @ sym, itself int8.
+
+    The symmetrized cotangent ``sym = (dG + dG^T)/(C*H*W)`` is a tiny
+    (N, C, C) tensor; quantizing it dynamically costs nothing and puts the
+    big (N, HW, C) contraction on the int8 MXU like the forward.
+    """
+    from artist_style_transfer_tpu.ops.qconv import absmax_scale, quant_i8
+
+    fq, s_f, wit = res
+    n, h, w, c = fq.shape
+    sym = (dg.astype(jnp.float32) + jnp.swapaxes(dg, 1, 2).astype(jnp.float32)) * (
+        1.0 / float(c * h * w)
+    )
+    s_sym = absmax_scale(sym)
+    acc = jax.lax.dot_general(
+        fq,
+        quant_i8(sym, s_sym),
+        dimension_numbers=(((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    df = acc.astype(jnp.float32) * (s_f * s_sym)
+    return (df.astype(wit.dtype),)
+
+
+@jax.custom_vjp
+def _gram_int8_diff(features_nhwc: jax.Array) -> jax.Array:
+    return _gram_int8_fwd(features_nhwc)[0]
+
+
+_gram_int8_diff.defvjp(_gram_int8_fwd, _gram_int8_bwd)
+
+
+def gram_matrix_int8(features_nhwc: jax.Array) -> jax.Array:
+    """Normalized Gram on the int8 MXU (dynamic per-tensor feature scale).
+
+    For the quantized-loss training path (``train(quantize_loss=...)``):
+    the deep taps' grams ride the int8 MXU like the frozen VGG convs do
+    (2x macs/cycle, half the operand bytes), with the STE backward running
+    a second int8 contraction. Output is f32 like :func:`gram_matrix_xla`;
+    relative error is rounding-only (<= ~1e-2 per element, noise not bias
+    — symmetric round-to-nearest), trajectory-tested in
+    tests/test_quant_loss.py.
+    """
+    return _gram_int8_diff(features_nhwc)
+
+
 def gram_matrix(features_nhwc: jax.Array, use_pallas: str | bool = "auto") -> jax.Array:
     """Dispatch between the Pallas TPU kernel and the XLA contraction.
 

@@ -71,6 +71,7 @@ def style_loss_gram(
     target_grams: dict[str, jax.Array],
     use_pallas: str | bool = "auto",
     folded: bool = False,
+    quantize: bool = False,
 ) -> jax.Array:
     """Sum of per-tap Gram MSEs (train_cnn.py:321-325).
 
@@ -101,7 +102,18 @@ def style_loss_gram(
         # than gram_matrix + XLA MSE (764 vs 802 img/s end to end) — the
         # residual fusion saved only a (N,C,C)-sized pass but constrained
         # scheduling around the big contraction.
-        g = gram_matrix(feats, use_pallas=use_pallas)
+        # ``quantize=True`` (the quantize_loss train path): the deep taps'
+        # grams run on the int8 MXU. Gated to C >= 256 — the relu3_3 quant
+        # pass CSEs with conv4_1's input quant (identical expression), and
+        # relu4_3's is small; at C <= 128 the 224^2/112^2 quant passes cost
+        # more than the contraction win (the same wall the quantize_loss
+        # split-point sweep measured, BENCH_NOTES).
+        if quantize and c >= 256 and not folded:
+            from artist_style_transfer_tpu.ops.gram import gram_matrix_int8
+
+            g = gram_matrix_int8(feats)
+        else:
+            g = gram_matrix(feats, use_pallas=use_pallas)
         if folded and FOLD_PAD[name]:
             # Folded taps carry FOLD_PAD zero separator rows: the Gram SUM is
             # unaffected (zero rows contribute zero) but gram_matrix's

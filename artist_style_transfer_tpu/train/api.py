@@ -104,6 +104,11 @@ def train(
     # (the measured throughput win); 'all' = every interior conv (matches
     # the int8 serving numerics of infer.stylize_int8 most closely).
     qat: bool | str = False,
+    # Int8-MXU grams for the deep (C>=256) style taps: 'auto' enables them
+    # iff the loss extractor is quantized (quantize_loss) — the relu3_3
+    # feature quant CSEs with conv4_1's input quant; False opts out, True
+    # forces them with a bf16 extractor.
+    quantize_gram: bool | str = "auto",
 ):
     """Train a TransformerNet for ``artist`` with the given style method.
 
@@ -258,6 +263,7 @@ def train(
         remat=remat,
         reference_typo_stats=reference_typo_stats,
         qat=qat,
+        quantize_gram=quantize_gram,
     )
 
     content_r22 = None

@@ -117,6 +117,7 @@ def make_step_fns(
     reference_typo_stats: bool = False,
     fold_batch: str | bool = "auto",
     qat: bool | str = False,
+    quantize_gram: bool | str = "auto",
 ) -> StepFns:
     """Build the jitted epoch function for a training configuration.
 
@@ -188,6 +189,12 @@ def make_step_fns(
     # int8/scale leaves must not be cast, and their real-unit leaves were
     # already materialized in the compute dtype by quantize_vgg16_loss.
     vgg_quant = vgg_is_quantized(vgg_params)
+    # Int8-MXU grams for the deep (C>=256) taps: rides along with the
+    # quantized loss extractor by default (the relu3_3 feature quant is
+    # shared with conv4_1's input quant by CSE — see ops.gram
+    # .gram_matrix_int8); the bf16/f32 parity path is untouched.
+    if quantize_gram == "auto":
+        quantize_gram = vgg_quant
     vgg_compute = (
         jax.tree.map(lambda a: a.astype(cdtype), vgg_params)
         if cdtype != jnp.float32 and not vgg_quant
@@ -265,7 +272,8 @@ def make_step_fns(
                     grams, step, targets.num_cycle if mode == "cycle" else 0
                 )
                 s_loss = style_weight * style_loss_gram(
-                    gen_feats, step_grams, use_pallas=use_pallas, folded=folded
+                    gen_feats, step_grams, use_pallas=use_pallas, folded=folded,
+                    quantize=bool(quantize_gram),
                 )
             total = c_loss + s_loss
             return total, (c_loss, s_loss)

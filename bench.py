@@ -164,7 +164,7 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
 def measure_train_cycle_throughput(
     batch_size: int = 128, train_size: int = 224, fold_batch="auto",
-    quantize_loss=False, qat=False,
+    quantize_loss=False, qat=False, quantize_gram="auto",
 ) -> float:
     """'cycle'-mode training images/sec at reference hyperparams (224x224).
 
@@ -217,7 +217,7 @@ def measure_train_cycle_throughput(
             # enough HBM that b96 fits without it, and the recomputed
             # forward costs ~40 ms/step (round-2 profiling).
             compute_dtype="bfloat16", remat=False, fold_batch=fold_batch,
-            qat=qat,
+            qat=qat, quantize_gram=quantize_gram,
         )
         r22 = precompute_content_relu2_2(vgg_params, content, dtype=jnp.bfloat16)
         opt_state = tx.init(params)

@@ -190,6 +190,73 @@ def test_quantize_loss_dp_trajectory_matches_single_device():
     np.testing.assert_allclose(l8, l1, rtol=1e-3)
 
 
+def test_gram_int8_fwd_matches_dequantized_composition():
+    """gram_matrix_int8 == gram of the dequantized int8 features, exactly."""
+    from artist_style_transfer_tpu.ops.gram import gram_matrix_int8, gram_matrix_xla
+
+    rng = np.random.default_rng(6)
+    f = jnp.asarray(rng.normal(size=(3, 4, 5, 16)).astype(np.float32) * 7)
+    s_f = absmax_scale(f)
+    fhat = quant_i8(f, s_f).astype(jnp.float32) * s_f
+
+    g = gram_matrix_int8(f)
+    with precision("highest"):
+        ref = gram_matrix_xla(fhat)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_gram_int8_ste_gradient_analytic():
+    """Cotangent chosen so sym lands on the quant grid -> dF must equal the
+    analytic STE gradient (Fq s_f) @ sym exactly."""
+    from artist_style_transfer_tpu.ops.gram import gram_matrix_int8
+
+    rng = np.random.default_rng(7)
+    n, h, w, c = 2, 3, 4, 8
+    f = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    # Symmetric integer-grid cotangent: sym = 2*dg/(c*h*w) is on the grid
+    # when dg is symmetric with integer entries times (c*h*w)/2.
+    m = rng.integers(-40, 41, size=(n, c, c)).astype(np.float32)
+    dg = jnp.asarray((m + np.swapaxes(m, 1, 2)) * (c * h * w) / 2.0)
+
+    _, pull = jax.vjp(gram_matrix_int8, f)
+    (df,) = pull(dg)
+
+    s_f = absmax_scale(f)
+    fhat = quant_i8(f, s_f).astype(jnp.float32) * s_f
+    sym = np.asarray((dg + jnp.swapaxes(dg, 1, 2)) / (c * h * w), np.float32)
+    s_sym = absmax_scale(jnp.asarray(sym))
+    sym_hat = quant_i8(jnp.asarray(sym), s_sym).astype(jnp.float32) * s_sym
+    ref = jnp.einsum("nhwc,ncd->nhwd", fhat, sym_hat)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+
+def test_style_loss_gram_quantize_gate():
+    """quantize=True routes only C>=256 taps through the int8 gram; the loss
+    stays within rounding distance of the exact one."""
+    from artist_style_transfer_tpu.ops.losses import style_loss_gram
+    from artist_style_transfer_tpu.models.vgg import VGG_LAYER_NAMES
+
+    rng = np.random.default_rng(8)
+    sizes = {"relu1_2": (16, 64), "relu2_2": (8, 128),
+             "relu3_3": (4, 256), "relu4_3": (2, 512)}
+    feats = {
+        k: jnp.asarray(rng.normal(size=(2, s, s, ch)).astype(np.float32))
+        for k, (s, ch) in sizes.items()
+    }
+    targets = {
+        k: jnp.asarray(rng.normal(size=(ch, ch)).astype(np.float32) * 1e-3)
+        for k, (s, ch) in sizes.items()
+    }
+    assert set(sizes) == set(VGG_LAYER_NAMES)
+    with precision("highest"):
+        exact = float(style_loss_gram(feats, targets, use_pallas=False))
+        quant = float(
+            style_loss_gram(feats, targets, use_pallas=False, quantize=True)
+        )
+    assert quant != exact  # the int8 path actually dispatched
+    assert abs(quant - exact) / exact < 2e-2, (quant, exact)
+
+
 def test_quantize_loss_rejects_fold_batch():
     from artist_style_transfer_tpu.train.loop import make_optimizer, make_step_fns
     from artist_style_transfer_tpu.train.styles import build_style_targets
