@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(models/transformer_qat.py); 'trunk' = the 12 "
                         "quarter-res 128-channel convs (the measured win), "
                         "'all' = every interior conv")
+    p.add_argument("--quantize_gram", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="int8-MXU grams for the deep (C>=256) style taps "
+                        "(ops/gram.gram_matrix_int8); 'auto' = iff "
+                        "--quantize_loss is set")
     p.add_argument("--log_every_batches", type=int, default=12,
                    help="per-batch loss records in metrics.jsonl (0 = off); "
                         "reference BATCH_INFO_EVERY")
@@ -109,6 +114,7 @@ def main(argv=None) -> None:
         log_every_batches=args.log_every_batches,
         quantize_loss=args.quantize_loss or False,
         qat=args.qat or False,
+        quantize_gram={"auto": "auto", "on": True, "off": False}[args.quantize_gram],
         wordy=not args.quiet,
     )
 

@@ -52,6 +52,16 @@ def test_train_cli_end_to_end(cli_workspace):
     assert (d / "style.jpg").exists()
 
 
+def test_train_cli_quantize_gram_flag():
+    from artist_style_transfer_tpu.train_style_transfer import build_parser
+
+    p = build_parser()
+    assert p.parse_args([]).quantize_gram == "auto"
+    assert p.parse_args(["--quantize_gram", "off"]).quantize_gram == "off"
+    with pytest.raises(SystemExit):
+        p.parse_args(["--quantize_gram", "bogus"])
+
+
 def test_inference_cli_display(cli_workspace):
     # reuse the checkpoint from a fresh tiny train
     from artist_style_transfer_tpu.inference import main as infer_main
