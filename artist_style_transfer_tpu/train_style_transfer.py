@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every_batches", type=int, default=12,
                    help="per-batch loss records in metrics.jsonl (0 = off); "
                         "reference BATCH_INFO_EVERY")
+    p.add_argument("--preview_every", type=int, default=0,
+                   help="write a content/style/transformed preview figure "
+                        "every N epochs to models/<artist>/<method>/"
+                        "preview_<epoch>.png (0 = off); file-based stand-in "
+                        "for the reference's live matplotlib preview "
+                        "(train_cnn.py:337-354)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -112,6 +118,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         compute_dtype=args.compute_dtype,
         log_every_batches=args.log_every_batches,
+        preview_every=args.preview_every,
         quantize_loss=args.quantize_loss or False,
         qat=args.qat or False,
         quantize_gram={"auto": "auto", "on": True, "off": False}[args.quantize_gram],

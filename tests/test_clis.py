@@ -46,10 +46,12 @@ def test_train_cli_end_to_end(cli_workspace):
         "--style_method", "random", "--artist", "Alfred_Sisley",
         "--num_epochs", "1", "--batch_size", "2", "--content_data_size", "2",
         "--train_size", "32", "--save_every", "1", "--num_steps", "1", "--quiet",
+        "--preview_every", "1",
     ])
     d = cli_workspace / "models" / "Alfred_Sisley" / "random"
     assert any(p.name.endswith("_1.pth") for p in d.iterdir())
     assert (d / "style.jpg").exists()
+    assert (d / "preview_0.png").exists()
 
 
 def test_train_cli_quantize_gram_flag():
