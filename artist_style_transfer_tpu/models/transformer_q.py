@@ -227,6 +227,20 @@ def quantize_transformer(params: dict, images_or_scales) -> dict:
     }
 
 
+def _in_relu_bf16(h: jax.Array, gamma: jax.Array, beta: jax.Array) -> jax.Array:
+    """One-pass f32-stats IN + ReLU on a real-unit activation -> bf16."""
+    h32 = h.astype(jnp.float32)
+    mean = jnp.mean(h32, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(jnp.square(h32), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    return jnp.maximum(
+        ((h32 - mean) * jax.lax.rsqrt(var + INSTANCE_NORM_EPS))
+        * gamma.astype(jnp.float32)
+        + beta.astype(jnp.float32),
+        0.0,
+    ).astype(_REAL_DTYPE)
+
+
 def transformer_apply_int8(
     qparams: dict, x: jax.Array, accum=jnp.int32
 ) -> jax.Array:
@@ -235,22 +249,25 @@ def transformer_apply_int8(
     Same contract as :func:`transformer_apply` (unbounded output, clip at
     save time — reference inference.py:116). ``accum`` selects the
     materialized conv-accumulator dtype (see :func:`_conv_i8`).
+
+    A batch->H folded int8 variant (fold the batch so the C<128 int8 convs
+    run batch-1, the win the bf16 path gets from
+    ``transformer._transformer_apply_folded``) was BUILT AND MEASURED in
+    round 3 and REMOVED: XLA:TPU's int8 tile layout for the folded
+    ``s8[1, N*(H+2p), W, 32]`` tensor pads ~16x (a 17.4 GB staging copy at
+    the b128/512^2 headline shape — compile-time OOM; the same pathology
+    that keeps the C=3 endpoints bf16, see the module docstring). The
+    direct path keeps N=128 in the lane dimension, which IS the int8
+    layout fix. Endpoint-only folding also loses: the folded bf16 output
+    conv measured 15.0 ms vs 11.3 ms for the unfolded dx-factored leg
+    (BENCH_NOTES round 3).
     """
     x = x.astype(_REAL_DTYPE)
 
     # Stem 9x9/1 3->32 in bf16 (widen-factored — conv2d_reflect_cinfactored).
     stem = qparams["stem"]
     h = conv2d_reflect_cinfactored(x, stem["w"], stem["b"])
-    h32 = h.astype(jnp.float32)
-    mean = jnp.mean(h32, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(jnp.square(h32), axis=(1, 2), keepdims=True)
-    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-    xr = jnp.maximum(
-        ((h32 - mean) * jax.lax.rsqrt(var + INSTANCE_NORM_EPS))
-        * stem["gamma"].astype(jnp.float32)
-        + stem["beta"].astype(jnp.float32),
-        0.0,
-    ).astype(_REAL_DTYPE)
+    xr = _in_relu_bf16(h, stem["gamma"], stem["beta"])
 
     # Encoder convs 2-4 (int8): reflect pad, stride per spec.
     for p, (k, s, _, _) in zip(qparams["encoder"], ENCODER_SPEC[1:]):

@@ -149,7 +149,15 @@ def _vgg16_features_folded(
             continue
         p = params[conv_i]
         name = _TAP_AFTER_CONV.get(conv_i)
-        pre = conv2d(x, p["w"], p["b"], stride=1, padding=1)
+        if "wq" in p:
+            # int8-quantized frozen conv (quantize_vgg16_loss 'deep'): the
+            # folded shallow blocks compose with the int8 MXU deep blocks —
+            # the fold fixes the C<128 layout pathology where it lives
+            # (blocks 1-2), the int8 convs take the compute-bound 56^2/28^2
+            # blocks, and they meet at the pool2 unfold.
+            pre = conv2d_frozen_int8(x, p["wq"], p["sw"], p["b"], 1)
+        else:
+            pre = conv2d(x, p["w"], p["b"], stride=1, padding=1)
         if i + 1 < len(_VGG_CFG) and _VGG_CFG[i + 1] == "M" and pre.shape[1] % 2 == 0 and pre.shape[2] % 2 == 0:
             tap, x = relu_max_pool2x2_fast(pre)
             i += 2
@@ -165,6 +173,12 @@ def _vgg16_features_folded(
 def fold_batch_ok(x_shape) -> bool:
     """Folding needs H % 4 == 0 (pool alignment at both folded blocks)."""
     return x_shape[1] % 4 == 0 and x_shape[2] % 4 == 0
+
+
+def fold_params_ok(params) -> bool:
+    """Folding covers conv1_1..conv2_2 in bf16 — those four must be
+    un-quantized (quantize_vgg16_loss 'deep' qualifies, 'all' does not)."""
+    return not any("wq" in p for p in params[:4])
 
 
 def vgg_is_quantized(params) -> bool:
@@ -240,7 +254,7 @@ def vgg16_features(
         # feature function.
         x = x.astype(params[0]["w"].dtype)
     fast = get_precision() != "highest"
-    if fold_batch and fast and fold_batch_ok(x.shape) and not vgg_is_quantized(params):
+    if fold_batch and fast and fold_batch_ok(x.shape) and fold_params_ok(params):
         return _vgg16_features_folded(params, x, just_content)
     relu = relu_fast if fast else jax.nn.relu
     conv_i = 0

@@ -108,7 +108,11 @@ def style_loss_gram(
         # relu4_3's is small; at C <= 128 the 224^2/112^2 quant passes cost
         # more than the contraction win (the same wall the quantize_loss
         # split-point sweep measured, BENCH_NOTES).
-        if quantize and c >= 256 and not folded:
+        # Folded taps (FOLD_PAD > 0: the shallow ones) carry separator rows
+        # the int8 gram's rescale does not model — but the deep taps arrive
+        # unfolded even under folding (FOLD_PAD == 0), so they keep the
+        # int8-MXU gram.
+        if quantize and c >= 256 and not (folded and FOLD_PAD[name]):
             from artist_style_transfer_tpu.ops.gram import gram_matrix_int8
 
             g = gram_matrix_int8(feats)

@@ -170,18 +170,22 @@ def make_step_fns(
     # math (per-image norms, equal-size shards => pmean of per-shard mean
     # losses/grads == global mean), same per-chip layout.
     if fold_batch == "auto":
-        # Measured on the real chip (b96/224 bf16 'cycle'): folded train
-        # step 235 img/s vs 710 direct — the fold's layout win on the
-        # shallow convs is swamped by its backward (separator-row fix-up
-        # gathers + folded VGG dgrad), and compile-only memory analysis
-        # shows it also costs +3.8 GiB temp at b128. Training therefore
-        # defaults to the direct path; the fold remains available
-        # explicitly (and stays the dispatched win for forward-only
-        # stylize/eval, where it measured neutral-to-positive).
+        # Measured on the real chip: FULL fold (b96/224 bf16 'cycle') 235
+        # img/s vs 710 direct; 'vgg'-only fold (b128/224 bf16 + int8 deep
+        # loss, round 3) 484.7 vs 867.9 direct. Both LOSE big: even with
+        # zero-separator folds (whose fold/unfold VJP is pad/slice, no
+        # scatters) the folded blocks' batch-1 BACKWARD convs hit their own
+        # N=1 layout pathology, swamping the forward layout win the
+        # stylize/eval paths enjoy. Training therefore defaults to the
+        # direct path; both fold modes remain available explicitly (and the
+        # fold stays the dispatched win for forward-only stylize/eval).
         fold_batch = False
-    fold_global = bool(fold_batch) and _mesh_size(mesh) == 1
+    # fold_mode: False = direct; True = fold transformer + VGG shallow
+    # blocks; 'vgg' = fold only the VGG loss branch (transformer direct).
+    fold_mode = fold_batch if fold_batch in (True, "vgg") else False
+    fold_global = fold_mode if _mesh_size(mesh) == 1 else False
     use_shmap = (
-        bool(fold_batch)
+        bool(fold_mode)
         and _mesh_size(mesh) > 1
         and batch_size % mesh.devices.size == 0
     )
@@ -200,18 +204,27 @@ def make_step_fns(
         if cdtype != jnp.float32 and not vgg_quant
         else vgg_params
     )
-    if vgg_quant and fold_batch is True:
-        raise NotImplementedError(
-            "fold_batch training is not supported with a quantized loss "
-            "extractor (quantize_loss): the folded VGG path is bf16-only"
-        )
-    if qat and fold_batch is True:
+    if fold_mode and vgg_quant:
+        from artist_style_transfer_tpu.models.vgg import fold_params_ok
+
+        if not fold_params_ok(vgg_params):
+            raise NotImplementedError(
+                "fold_batch training needs the shallow VGG blocks in bf16: "
+                "quantize_loss='all' quantizes conv1_2..conv2_2, which have "
+                "no folded int8 variant; use quantize_loss='deep'"
+            )
+    if qat and fold_mode is True:
         raise NotImplementedError(
             "qat training uses the int8 transformer forward, which has no "
-            "batch->H folded variant; use fold_batch='auto' (direct path)"
+            "batch->H folded variant; use fold_batch='vgg' (loss-branch "
+            "fold) or 'auto' (direct path)"
         )
 
-    def _make_loss_fn(fold: bool):
+    def _make_loss_fn(fold):
+        # ``fold``: False | True (transformer + VGG) | 'vgg' (VGG only).
+        fold_tr = fold is True
+        fold_vgg = bool(fold)
+
         # Rematerialization trades recompute FLOPs for activation memory —
         # worthwhile here because training is HBM-bound with MXU headroom,
         # so the freed memory buys a larger (better-utilizing) batch.
@@ -227,14 +240,14 @@ def make_step_fns(
                 return transformer_apply_qat(
                     p, x, layers="trunk" if qat is True else qat
                 )
-            return transformer_apply(p, x, fold_batch=fold)
+            return transformer_apply(p, x, fold_batch=fold_tr)
 
         tr_apply = jax.checkpoint(_tr_apply) if remat else _tr_apply
 
         def _vgg_apply(p, x):
             return vgg16_features(
                 p, x, just_content=just_content,
-                fold_batch=fold and fold_batch_ok(x.shape),
+                fold_batch=fold_vgg and fold_batch_ok(x.shape),
             )
 
         vgg_apply = jax.checkpoint(_vgg_apply) if remat else _vgg_apply
@@ -248,8 +261,13 @@ def make_step_fns(
             gen = tr_apply(params, batch)
             # Must mirror vgg16_features' internal fold gate exactly, so the
             # loss rescaling is applied iff the taps actually arrive folded.
+            from artist_style_transfer_tpu.models.vgg import fold_params_ok
+
             folded = (
-                fold and fold_batch_ok(batch.shape) and get_precision() != "highest"
+                fold_vgg
+                and fold_batch_ok(batch.shape)
+                and get_precision() != "highest"
+                and fold_params_ok(vgg_p)
             )
             gen_feats = vgg_apply(vgg_p, vgg_caffe_preprocess(gen))
             gen_r22 = gen_feats if just_content else gen_feats["relu2_2"]
@@ -286,7 +304,7 @@ def make_step_fns(
     if use_shmap:
         from jax.sharding import PartitionSpec as _P
 
-        _local_grad = jax.value_and_grad(_make_loss_fn(True), has_aux=True)
+        _local_grad = jax.value_and_grad(_make_loss_fn(fold_mode), has_aux=True)
 
         def _local_step(params, batch, r22, grams, labels, step, vgg_p, clf_p):
             (total, (c_l, s_l)), g = _local_grad(

@@ -83,8 +83,11 @@ def test_fold_gate_rejects_unaligned_shapes():
     assert out["relu1_2"].shape[1] == 30  # fell back to the direct path
 
 
-@pytest.mark.parametrize("mode", ["cycle", "classifier"])
-def test_folded_step_matches_unfolded(mode):
+@pytest.mark.parametrize(
+    "mode,fold",
+    [("cycle", True), ("classifier", True), ("cycle", "vgg"), ("classifier", "vgg")],
+)
+def test_folded_step_matches_unfolded(mode, fold):
     rng = np.random.default_rng(4)
     content = jnp.asarray(rng.random((2 * N, H, W, 3), np.float32) * 255)
     paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
@@ -102,13 +105,13 @@ def test_folded_step_matches_unfolded(mode):
     )
     r22 = precompute_content_relu2_2(vgg_params, content)
 
-    def run(fold):
+    def run(fold_arg):
         tx = make_optimizer(1e-3, 1e-4, 2, 2, 2)
         fns = make_step_fns(
             mode, vgg_params, clf_params, targets,
             content_weight=17.0, style_weight=25.0,
             batch_size=N, num_content=2 * N, tx=tx,
-            use_pallas=False, fold_batch=fold,
+            use_pallas=False, fold_batch=fold_arg,
         )
         p = jax.tree.map(jnp.copy, params)  # epoch_fn donates its params buffers
         opt_state = tx.init(p)
@@ -120,7 +123,7 @@ def test_folded_step_matches_unfolded(mode):
         return np.asarray(losses), jax.tree.leaves(p)
 
     losses_d, leaves_d = run(False)
-    losses_f, leaves_f = run(True)
+    losses_f, leaves_f = run(fold)
     np.testing.assert_allclose(losses_f, losses_d, rtol=2e-4)
     # Params after 2 Adam steps: float-reassociation noise in noise-level
     # gradient elements is amplified to ~sign(g)*lr by Adam's first-step
@@ -129,6 +132,66 @@ def test_folded_step_matches_unfolded(mode):
     # test_folded_grads_match_direct / test_transformer_folded_grads_*.
     for a, b in zip(leaves_f, leaves_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
+
+
+def test_vgg_fold_with_quantized_deep_loss():
+    """fold_batch='vgg' composes with quantize_loss='deep': the folded bf16
+    shallow blocks meet the int8-MXU deep blocks at the pool2 unfold, and
+    the trajectory matches the direct quantized step."""
+    from artist_style_transfer_tpu.models.vgg import quantize_vgg16_loss
+
+    rng = np.random.default_rng(7)
+    content = jnp.asarray(rng.random((2 * N, H, W, 3), np.float32) * 255)
+    paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
+    params = init_transformer_params(jax.random.key(0))
+    vgg_q = quantize_vgg16_loss(init_vgg16_params(jax.random.key(1)), "deep")
+
+    targets = build_style_targets(
+        "cycle", vgg_q, "X", paintings=paintings, batch_size=N
+    )
+    r22 = precompute_content_relu2_2(vgg_q, content)
+
+    def run(fold_arg):
+        tx = make_optimizer(1e-3, 1e-4, 2, 2, 2)
+        fns = make_step_fns(
+            "cycle", vgg_q, None, targets,
+            content_weight=17.0, style_weight=25.0,
+            batch_size=N, num_content=2 * N, tx=tx,
+            use_pallas=False, fold_batch=fold_arg,
+        )
+        p = jax.tree.map(jnp.copy, params)
+        opt_state = tx.init(p)
+        perm = epoch_permutation(0, 0, 2 * N)
+        p, opt_state, losses = fns.epoch_fn(
+            p, opt_state, content, r22, targets.grams, None, perm, jnp.int32(0)
+        )
+        return np.asarray(losses), jax.tree.leaves(p)
+
+    losses_d, leaves_d = run(False)
+    losses_f, leaves_f = run("vgg")
+    np.testing.assert_allclose(losses_f, losses_d, rtol=2e-4)
+    for a, b in zip(leaves_f, leaves_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
+
+
+def test_vgg_fold_rejects_shallow_quantized_loss():
+    """quantize_loss='all' quantizes the folded region -> refuse the fold."""
+    from artist_style_transfer_tpu.models.vgg import quantize_vgg16_loss
+
+    rng = np.random.default_rng(8)
+    paintings = (rng.random((3, H, W, 3)) * 255).astype(np.float32)
+    vgg_q = quantize_vgg16_loss(init_vgg16_params(jax.random.key(1)), "all")
+    targets = build_style_targets(
+        "cycle", vgg_q, "X", paintings=paintings, batch_size=N
+    )
+    tx = make_optimizer(1e-3, 1e-4, 2, 2, 2)
+    with pytest.raises(NotImplementedError, match="quantize_loss"):
+        make_step_fns(
+            "cycle", vgg_q, None, targets,
+            content_weight=17.0, style_weight=25.0,
+            batch_size=N, num_content=2 * N, tx=tx,
+            use_pallas=False, fold_batch="vgg",
+        )
 
 
 def test_transformer_folded_matches_direct():

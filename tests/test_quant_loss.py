@@ -257,20 +257,37 @@ def test_style_loss_gram_quantize_gate():
     assert abs(quant - exact) / exact < 2e-2, (quant, exact)
 
 
-def test_quantize_loss_rejects_fold_batch():
+def test_quantize_loss_fold_gate():
+    """'deep' quantization keeps the folded (bf16) shallow blocks -> fold OK;
+    'all' quantizes the folded region itself -> fold refused."""
     from artist_style_transfer_tpu.train.loop import make_optimizer, make_step_fns
     from artist_style_transfer_tpu.train.styles import build_style_targets
 
     rng = np.random.default_rng(5)
     paintings = (rng.random((2, 32, 32, 3)) * 255).astype(np.float32)
-    vgg = quantize_vgg16_loss(
+    tx = make_optimizer(1e-3, 1e-4, 2, 2, 1)
+    vgg_deep = quantize_vgg16_loss(
         init_vgg16_params(jax.random.key(1)), layers="deep", dtype=jnp.float32
     )
-    targets = build_style_targets("cycle", vgg, "X", paintings=paintings, batch_size=4)
-    tx = make_optimizer(1e-3, 1e-4, 2, 2, 1)
-    with pytest.raises(NotImplementedError):
-        make_step_fns(
-            "cycle", vgg, None, targets,
-            content_weight=17.0, style_weight=25.0, batch_size=4,
-            num_content=4, tx=tx, fold_batch=True,
-        )
+    targets = build_style_targets(
+        "cycle", vgg_deep, "X", paintings=paintings, batch_size=4
+    )
+    # deep + fold: supported (round 3) — the folded shallow blocks stay bf16
+    make_step_fns(
+        "cycle", vgg_deep, None, targets,
+        content_weight=17.0, style_weight=25.0, batch_size=4,
+        num_content=4, tx=tx, fold_batch="vgg",
+    )
+    vgg_all = quantize_vgg16_loss(
+        init_vgg16_params(jax.random.key(1)), layers="all", dtype=jnp.float32
+    )
+    targets_all = build_style_targets(
+        "cycle", vgg_all, "X", paintings=paintings, batch_size=4
+    )
+    for fold in (True, "vgg"):
+        with pytest.raises(NotImplementedError):
+            make_step_fns(
+                "cycle", vgg_all, None, targets_all,
+                content_weight=17.0, style_weight=25.0, batch_size=4,
+                num_content=4, tx=tx, fold_batch=fold,
+            )

@@ -44,7 +44,9 @@ from artist_style_transfer_tpu.ops.conv import (
 from artist_style_transfer_tpu.ops.norm import instance_norm
 from artist_style_transfer_tpu.ops.pad import reflect_pad_hw
 from artist_style_transfer_tpu.ops.precision import set_precision
+from artist_style_transfer_tpu.utils.cache import enable_compilation_cache
 
+enable_compilation_cache()
 set_precision("default")
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 512
