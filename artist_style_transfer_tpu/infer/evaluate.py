@@ -24,6 +24,16 @@ from artist_style_transfer_tpu.ops.image import (
 )
 
 
+def _classify_stylized(out, clf_params, classify) -> jax.Array:
+    # The reference quantizes to uint8 before the classifier transform
+    # (inference.py:116 -> :154); reproduce the rounding.
+    out = jnp.floor(jnp.clip(out.astype(jnp.float32), 0.0, 255.0))
+    crop = center_crop(out, 256)
+    rgb01 = bgr_to_rgb(crop) / 255.0
+    logits = classify(clf_params, torchvision_normalize(rgb01))
+    return jnp.argmax(logits, axis=-1)
+
+
 def _eval_core(params, clf_params, images_bgr_255: jax.Array,
                fold_batch: bool = True) -> jax.Array:
     """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
@@ -31,16 +41,43 @@ def _eval_core(params, clf_params, images_bgr_255: jax.Array,
     ``fold_batch``: batch->H folded shallow transformer layers (fast
     precision only; no-op for unfoldable shapes)."""
     out = transformer_apply(params, images_bgr_255, fold_batch=fold_batch)
-    # The reference quantizes to uint8 before the classifier transform
-    # (inference.py:116 -> :154); reproduce the rounding.
-    out = jnp.floor(jnp.clip(out, 0.0, 255.0))
-    crop = center_crop(out, 256)
-    rgb01 = bgr_to_rgb(crop) / 255.0
-    logits = classifier_apply(clf_params, torchvision_normalize(rgb01))
-    return jnp.argmax(logits, axis=-1)
+    return _classify_stylized(out, clf_params, classifier_apply)
+
+
+def _eval_core_int8(qparams, qclf_params, images_bgr_255: jax.Array) -> jax.Array:
+    """Int8-MXU eval: quantized stylizer + quantized frozen classifier.
+
+    Both halves of the pipeline are forward-only here, so both ride the
+    int8 MXU (models/transformer_q.py, models/resnet_q.py). Predictions
+    deviate from the real-dtype pipeline only by quantization rounding on
+    a 19-way argmax (logit deviation bounded in tests/test_resnet_q.py).
+    """
+    from artist_style_transfer_tpu.models.resnet_q import classifier_apply_int8
+    from artist_style_transfer_tpu.models.transformer_q import transformer_apply_int8
+
+    out = transformer_apply_int8(qparams, images_bgr_255, accum=jnp.bfloat16)
+    return _classify_stylized(out, qclf_params, classifier_apply_int8)
 
 
 _eval_batch = jax.jit(_eval_core, static_argnames=("fold_batch",))
+_eval_batch_int8 = jax.jit(_eval_core_int8)
+
+
+def quantize_eval_pipeline(params, classifier_params, calib_images):
+    """(quantized stylizer, quantized classifier) for the int8 eval path.
+
+    ``calib_images``: a few NHWC BGR [0,255] content images — the
+    stylizer's static activation scales come from one forward over them
+    (models/transformer_q.calibrate_transformer); the classifier uses
+    dynamic scales and needs no calibration.
+    """
+    from artist_style_transfer_tpu.models.resnet_q import quantize_classifier
+    from artist_style_transfer_tpu.models.transformer_q import quantize_transformer
+
+    return (
+        quantize_transformer(params, jnp.asarray(calib_images, jnp.float32)),
+        quantize_classifier(classifier_params),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -71,6 +108,7 @@ def evaluate_with_classifier(
     wordy: bool = True,
     artists: tuple[str, ...] | None = None,
     mesh=None,
+    quantize: bool = False,
 ) -> float:
     """Top-1 accuracy of the classifier recognizing the target artist.
 
@@ -84,7 +122,19 @@ def evaluate_with_classifier(
     With ``mesh``, each batch is sharded over the mesh's data axis and the
     (replicated) params stay put — the eval pipeline scales across chips
     the same way the train step does.
+
+    ``quantize=True`` runs the whole pipeline on the int8 MXU (quantized
+    stylizer + quantized frozen classifier, calibrated on the first few
+    content images) — the eval throughput fast path; predictions may
+    differ from the real-dtype pipeline by quantization rounding.
     """
+    if quantize:
+        calib = [np.asarray(content_images[i]) for i in range(min(2, len(content_images)))]
+        # Calibrate on same-shape images (mixed-size lists can't stack).
+        calib = [c for c in calib if c.shape == calib[0].shape] or [calib[0]]
+        params, classifier_params = quantize_eval_pipeline(
+            params, classifier_params, np.stack(calib)
+        )
     if mesh is not None:
         from artist_style_transfer_tpu.parallel.mesh import (
             batch_sharding,
@@ -93,14 +143,24 @@ def evaluate_with_classifier(
 
         params = jax.device_put(params, replicated_sharding(mesh))
         classifier_params = jax.device_put(classifier_params, replicated_sharding(mesh))
-    # One eval callable per call: per-shard folded under shard_map when the
-    # mesh divides the batch; unfolded global otherwise; folded single-device.
-    if mesh is not None and batch_size % mesh.devices.size == 0:
+    # One eval callable per call: int8 pipeline when quantized (no fold —
+    # the int8 layouts are already healthy, and GSPMD shards the batch via
+    # the input sharding alone); per-shard folded under shard_map when the
+    # mesh divides the batch; unfolded global otherwise; folded
+    # single-device. ``fallback`` covers the round-3 toolchain regression
+    # where fresh folded compiles crash the TPU compile helper (see
+    # infer.stylize._fold_broken): the first crash latches the direct path.
+    fallback = None
+    if quantize:
+        run = _eval_batch_int8
+    elif mesh is not None and batch_size % mesh.devices.size == 0:
         run = _eval_batch_sharded(mesh)
+        fallback = functools.partial(_eval_batch, fold_batch=False)
     elif mesh is not None:
         run = functools.partial(_eval_batch, fold_batch=False)
     else:
         run = functools.partial(_eval_batch, fold_batch=True)
+        fallback = functools.partial(_eval_batch, fold_batch=False)
     n = len(content_images)
     preds = np.zeros((n,), np.int64)
     by_shape: dict[tuple, list[int]] = {}
@@ -116,7 +176,13 @@ def evaluate_with_classifier(
             chunk = jnp.asarray(chunk, jnp.float32)
             if mesh is not None:
                 chunk = jax.device_put(chunk, batch_sharding(mesh))
-            p = np.asarray(run(params, classifier_params, chunk))
+            try:
+                p = np.asarray(run(params, classifier_params, chunk))
+            except jax.errors.JaxRuntimeError:
+                if fallback is None:
+                    raise
+                run, fallback = fallback, None
+                p = np.asarray(run(params, classifier_params, chunk))
             preds[take] = p[: len(take)]
     correct = int((preds == artist_index).sum())
     if wordy and artists is not None:

@@ -18,21 +18,47 @@ import numpy as np
 from artist_style_transfer_tpu.models.transformer import transformer_apply
 
 
-@functools.partial(jax.jit, static_argnames=("clip",))
+@functools.partial(jax.jit, static_argnames=("clip", "fold_batch"))
+def _stylize_core(
+    params, images_bgr_255: jax.Array, clip: bool = True, fold_batch: bool = True
+) -> jax.Array:
+    out = transformer_apply(
+        params, images_bgr_255.astype(jnp.float32), fold_batch=fold_batch
+    )
+    if clip:
+        out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+    return out
+
+
+# Round-3 toolchain regression: FRESH AOT compiles of the batch->H folded
+# transformer die in the TPU compile helper (fusion_emitter.cc:4273
+# `Check failed: window.window_bounds[i] == window.strides[i]`, SIGABRT —
+# reproduced compile-only at multiple shapes; round 2 compiled and
+# measured the same programs at 1015 img/s). Shapes already in the
+# persistent compilation cache still serve folded, so the folded path is
+# attempted first and the direct fast path (factored endpoint convs, ~854
+# img/s class) is latched on the first compiler crash. CPU/parity paths
+# are unaffected.
+_fold_broken = False
+
+
 def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
     """Stylize a batch: NHWC BGR [0,255] -> NHWC BGR (uint8 if clip).
 
     Accepts uint8 input directly — the cast to float happens on-device, so
     the host->device transfer is 1 byte/channel instead of 4 (serving-path
     bandwidth). Clipping to [0,255] matches the reference's save-time clip
-    (inference.py:116, train_cnn.py:112).
+    (inference.py:116, train_cnn.py:112). Dispatches the batch->H folded
+    fast path, falling back to the direct formulation if the toolchain's
+    folded compile is broken (see ``_fold_broken`` above).
     """
-    # fold_batch: batch->H folded shallow layers in fast precision (exact
-    # up to reassociation; no-op for parity mode / unfoldable shapes).
-    out = transformer_apply(params, images_bgr_255.astype(jnp.float32), fold_batch=True)
-    if clip:
-        out = jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
-    return out
+    global _fold_broken
+    if not _fold_broken:
+        try:
+            return _stylize_core(params, images_bgr_255, clip, True)
+        except jax.errors.JaxRuntimeError:
+            _fold_broken = True
+    return _stylize_core(params, images_bgr_255, clip, False)
 
 
 @functools.partial(jax.jit, static_argnames=("clip",))

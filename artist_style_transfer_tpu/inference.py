@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fig_dir", default=d.fig_dir)
     p.add_argument("--classifier_path", default=d.classifier_path)
     p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--quantize", action="store_true", default=d.quantize,
+                   help="eval mode: run the whole stylize->classify "
+                        "pipeline on the int8 MXU (quantized stylizer + "
+                        "quantized frozen classifier)")
     return p
 
 
@@ -134,6 +138,7 @@ def run_eval(args, params) -> float:
         [im.astype(np.float32) for im in content],
         index,
         artists=ARTISTS_19,
+        quantize=args.quantize,
     )
 
 

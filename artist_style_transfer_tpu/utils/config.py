@@ -61,3 +61,6 @@ class InferenceConfig:
     model_dir: str = "models"
     classifier_path: str = "models/best-2.pth"
     seed: int | None = None  # shuffle seed for eval image selection
+    # int8-MXU eval pipeline (quantized stylizer + quantized frozen
+    # classifier) — throughput fast path, no reference equivalent
+    quantize: bool = False

@@ -308,11 +308,15 @@ def get_eval_baseline() -> float:
     return ips
 
 
-def measure_eval_throughput(batch_size: int = 16, size: int = 288, iters: int = 8) -> float:
+def measure_eval_throughput(
+    batch_size: int = 16, size: int = 288, iters: int = 8, quantize: bool = False
+) -> float:
     """Quantitative-eval pipeline images/sec: stylize -> crop -> classify.
 
     The reference's eval loop (inference.py:104-166) runs image-by-image
     with host round trips; here the whole pipeline is one jitted graph.
+    ``quantize=True`` runs the int8-MXU pipeline (quantized stylizer +
+    quantized frozen classifier — infer.evaluate._eval_batch_int8).
     """
     import functools
 
@@ -320,7 +324,11 @@ def measure_eval_throughput(batch_size: int = 16, size: int = 288, iters: int = 
     import jax.numpy as jnp
     import numpy as np
 
-    from artist_style_transfer_tpu.infer.evaluate import _eval_batch
+    from artist_style_transfer_tpu.infer.evaluate import (
+        _eval_batch,
+        _eval_batch_int8,
+        quantize_eval_pipeline,
+    )
     from artist_style_transfer_tpu.models.resnet import init_classifier_params
     from artist_style_transfer_tpu.models.transformer import init_transformer_params
     from artist_style_transfer_tpu.ops.precision import set_precision
@@ -331,11 +339,16 @@ def measure_eval_throughput(batch_size: int = 16, size: int = 288, iters: int = 
     x = jnp.asarray(
         np.random.default_rng(0).random((batch_size, size, size, 3)) * 255, jnp.float32
     )
+    if quantize:
+        params, clf = quantize_eval_pipeline(params, clf, x[:2])
+        eval_fn = _eval_batch_int8
+    else:
+        eval_fn = _eval_batch
 
     @functools.partial(jax.jit, static_argnums=1)
     def chain(x, n):
         def body(carry, _):
-            preds = _eval_batch(params, clf, carry)
+            preds = eval_fn(params, clf, carry)
             # real data dependence on the preds (a *0 gets constant-folded
             # and the whole loop elided — measured!)
             return carry + jnp.sum(preds).astype(carry.dtype) * 1e-12, None
@@ -363,7 +376,7 @@ def main() -> None:
 
     if "--eval" in sys.argv:
         eval_baseline = get_eval_baseline()
-        value = measure_eval_throughput()
+        value = measure_eval_throughput(quantize="--quantize" in sys.argv)
         print(
             json.dumps(
                 {

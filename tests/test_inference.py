@@ -51,6 +51,60 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_stylize_folded_compile_crash_falls_back(monkeypatch):
+    """Round-3 toolchain mitigation: when the folded forward's compile dies
+    (JaxRuntimeError from the TPU compile helper), stylize() retries the
+    direct path and LATCHES it for subsequent calls."""
+    import importlib
+
+    # NOTE: ``import ...infer.stylize as S`` would bind the re-exported
+    # *function* (infer/__init__ shadows the submodule attribute).
+    S = importlib.import_module("artist_style_transfer_tpu.infer.stylize")
+
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)) * 255, jnp.float32)
+    real = S._stylize_core
+    calls = []
+
+    def fake(params, images, clip=True, fold_batch=True):
+        calls.append(fold_batch)
+        if fold_batch:
+            raise jax.errors.JaxRuntimeError("INTERNAL: simulated compiler crash")
+        return real(params, images, clip, False)
+
+    monkeypatch.setattr(S, "_stylize_core", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    out = S.stylize(params, x)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
+    out2 = S.stylize(params, x)
+    assert out2.shape == (2, 32, 32, 3)
+    # first call tried folded then fell back; second went direct immediately
+    assert calls == [True, False, False]
+    assert S._fold_broken
+
+
+def test_evaluate_folded_compile_crash_falls_back(monkeypatch):
+    import artist_style_transfer_tpu.infer.evaluate as E
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    content = (np.random.default_rng(2).random((2, 288, 288, 3)) * 255).astype(np.float32)
+    real = E._eval_batch
+    calls = []
+
+    def fake(params, clf_params, images, fold_batch=True):
+        calls.append(fold_batch)
+        if fold_batch:
+            raise jax.errors.JaxRuntimeError("INTERNAL: simulated compiler crash")
+        return real(params, clf_params, images, fold_batch=False)
+
+    monkeypatch.setattr(E, "_eval_batch", fake)
+    acc = evaluate_with_classifier(params, clf, content, artist_index=0, batch_size=2, wordy=False)
+    assert 0.0 <= acc <= 100.0
+    assert calls == [True, False]
+
+
 def test_evaluate_with_classifier_counts():
     from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
 
