@@ -11,6 +11,7 @@ from artist_style_transfer_tpu.infer.stylize import (  # noqa: F401
     stylize_batched,
     stylize_int8,
     stylize_spatial,
+    stylize_spatial_int8,
 )
 from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier  # noqa: F401
 from artist_style_transfer_tpu.infer.serve import (  # noqa: F401

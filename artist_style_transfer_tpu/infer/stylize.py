@@ -120,6 +120,44 @@ def stylize_spatial(params, image_bgr_255, mesh, clip: bool = True) -> jax.Array
     return out[0] if squeeze else out
 
 
+@functools.lru_cache(maxsize=None)
+def _stylize_spatial_int8_fn(mesh, clip: bool):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from artist_style_transfer_tpu.models.transformer_q import transformer_apply_int8
+
+    sh = NamedSharding(mesh, P(None, "data"))
+
+    def run(qparams, x):
+        x = jax.lax.with_sharding_constraint(x, sh)
+        out = transformer_apply_int8(qparams, x, accum=jnp.bfloat16)
+        if clip:
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 255.0).astype(jnp.uint8)
+        return out
+
+    return jax.jit(run, out_shardings=sh)
+
+
+def stylize_spatial_int8(qparams, image_bgr_255, mesh, clip: bool = True) -> jax.Array:
+    """Int8-MXU :func:`stylize_spatial`: one image, H rows sharded.
+
+    Combines the two serving fast paths — the row-sharded big-image mode
+    and the quantized net. GSPMD handles the int8 conv halo exchanges
+    the same way it does the bf16 ones, and the per-tensor dynamic
+    requantization scales plus the instance-norm statistics become global
+    all-reduces, so every shard quantizes with the SAME scale — results
+    match single-device :func:`stylize_int8` up to reduction order.
+    ``qparams`` from ``models.transformer_q.quantize_transformer``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    squeeze = image_bgr_255.ndim == 3
+    x = image_bgr_255[None] if squeeze else image_bgr_255
+    x = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, "data")))
+    out = _stylize_spatial_int8_fn(mesh, clip)(qparams, x)
+    return out[0] if squeeze else out
+
+
 def stylize_batched(params, images: list[np.ndarray], batch_size: int = 8) -> list[np.ndarray]:
     """Stylize variable-sized images, batching same-shaped ones together.
 

@@ -45,9 +45,8 @@ from artist_style_transfer_tpu.ops.conv import (
     max_pool_global,
 )
 from artist_style_transfer_tpu.ops.norm import BATCH_NORM_EPS
-from artist_style_transfer_tpu.ops.qconv import quant_weight
+from artist_style_transfer_tpu.ops.qconv import conv2d_frozen_int8, quant_weight
 
-_DN = ("NHWC", "HWIO", "NHWC")
 _REAL_DTYPE = jnp.bfloat16
 
 
@@ -99,22 +98,26 @@ def quantize_classifier(params: dict) -> dict:
     return out
 
 
-def _conv_i8_dyn(x: jax.Array, p: dict, stride: int, padding: int) -> jax.Array:
-    """Dynamic per-tensor int8 conv + folded-BN bias -> bf16."""
-    s_in = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-30) / 127.0
-    xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) * (1.0 / s_in)), -127.0, 127.0
-    ).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        xq,
-        p["wq"],
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
+def classifier_is_quantized(params) -> bool:
+    """True for pytrees produced by :func:`quantize_classifier`."""
+    return (
+        isinstance(params, dict)
+        and "stages" in params
+        and bool(params["stages"])
+        and "wq" in params["stages"][0][0].get("conv1", {})
     )
-    y = acc.astype(jnp.float32) * (s_in * p["sw"]) + p["b"]
-    return y.astype(_REAL_DTYPE)
+
+
+def _conv_i8_dyn(x: jax.Array, p: dict, stride: int, padding: int) -> jax.Array:
+    """Dynamic per-tensor int8 conv + folded-BN bias -> bf16.
+
+    Routed through :func:`ops.qconv.conv2d_frozen_int8`, whose custom VJP
+    gives the STE data gradient on the int8 MXU — so the same forward
+    serves both the eval pipeline (no gradients) and 'classifier'-mode
+    training, where style gradients flow through the frozen classifier
+    into the stylizer (reference train_cnn.py:311-314).
+    """
+    return conv2d_frozen_int8(x, p["wq"], p["sw"], p["b"], padding, stride)
 
 
 def classifier_apply_int8(

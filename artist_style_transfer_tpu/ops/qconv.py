@@ -65,49 +65,57 @@ def quant_weight(w_hwio: jax.Array):
     return wq.astype(jnp.int8), sw
 
 
-def _conv_i8(xq: jax.Array, wq: jax.Array, pad: int) -> jax.Array:
-    """int8 x int8 -> int32 stride-1 convolution on the MXU."""
+def _conv_i8(xq: jax.Array, wq: jax.Array, pad: int, stride: int = 1,
+             lhs_d: int = 1, pad_hi: int | None = None) -> jax.Array:
+    """int8 x int8 -> int32 convolution on the MXU."""
+    hi = pad if pad_hi is None else pad_hi
     return jax.lax.conv_general_dilated(
         xq,
         wq,
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
+        window_strides=(stride, stride),
+        padding=((pad, hi), (pad, hi)),
+        lhs_dilation=(lhs_d, lhs_d) if lhs_d != 1 else None,
         dimension_numbers=_DN,
         preferred_element_type=jnp.int32,
     )
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def conv2d_frozen_int8(
     x: jax.Array,
     wq: jax.Array,
     sw: jax.Array,
     b: jax.Array | None,
     padding: int = 1,
+    stride: int = 1,
 ) -> jax.Array:
-    """Stride-1 zero-padded conv of a FROZEN layer on the int8 MXU.
+    """Zero-padded conv of a FROZEN layer on the int8 MXU.
 
     Forward: ``dequant(conv(quant(x), wq)) + b`` with dynamic per-tensor
     input scale. Backward (STE): the weight/bias cotangents are zero (the
     layer is frozen — do not use for trained convs) and the data gradient
     runs as a second int8 conv with the spatially-flipped transposed
-    weights over the dynamically-quantized, weight-scale-folded cotangent.
-    Output dtype follows ``x``.
+    weights over the dynamically-quantized, weight-scale-folded cotangent
+    (``lhs_dilation=stride`` for strided forwards, the standard dgrad
+    formulation). Output dtype follows ``x``. Covers the frozen loss
+    extractors: VGG16 (stride 1) and the ResNet-50 classifier's 1x1/3x3
+    stride-1/2 convs ('classifier' training mode, where style gradients
+    flow through the frozen classifier — reference train_cnn.py:311-314).
     """
-    return _q_fwd(x, wq, sw, b, padding)[0]
+    return _q_fwd(x, wq, sw, b, padding, stride)[0]
 
 
-def _q_fwd(x, wq, sw, b, padding):
+def _q_fwd(x, wq, sw, b, padding, stride):
     s_in = absmax_scale(x)
-    acc = _conv_i8(quant_i8(x, s_in), wq, padding)
+    acc = _conv_i8(quant_i8(x, s_in), wq, padding, stride=stride)
     y = acc.astype(jnp.float32) * (s_in * sw)
     if b is not None:
         y = y + b
-    return y.astype(x.dtype), (wq, sw, b)
+    return y.astype(x.dtype), (wq, sw, b, x.shape[1:3])
 
 
-def _q_bwd(padding, res, dy):
-    wq, sw, b = res
+def _q_bwd(padding, stride, res, dy):
+    wq, sw, b, in_hw = res
     k = wq.shape[0]
     # Fold the per-output-channel weight scales into the cotangent: the
     # dgrad contraction is over C_out, so dy[c] * sw[c] makes the int8
@@ -115,7 +123,24 @@ def _q_bwd(padding, res, dy):
     dyp = dy.astype(jnp.float32) * sw
     s_dy = absmax_scale(dyp)
     w_t = jnp.transpose(wq[::-1, ::-1], (0, 1, 3, 2))  # flip HW, swap I/O
-    acc = _conv_i8(quant_i8(dyp, s_dy), w_t, k - 1 - padding)
+    if stride == 1:
+        acc = _conv_i8(quant_i8(dyp, s_dy), w_t, k - 1 - padding)
+    else:
+        # Strided forward: dgrad is the lhs-dilated conv over dy with
+        # asymmetric high padding solving the output size to the input's.
+        pads = tuple(
+            _dgrad_pad(i, o, k, stride, 1, padding)
+            for i, o in zip(in_hw, dy.shape[1:3])
+        )
+        acc = jax.lax.conv_general_dilated(
+            quant_i8(dyp, s_dy),
+            w_t,
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        )
     dx = (acc.astype(jnp.float32) * s_dy).astype(dy.dtype)
     return (
         dx,

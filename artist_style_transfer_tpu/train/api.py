@@ -166,6 +166,19 @@ def train(
             layers="deep" if quantize_loss is True else quantize_loss,
             dtype=jnp.dtype(compute_dtype),
         )
+        # NOTE: classifier mode does NOT auto-quantize the frozen
+        # classifier loss net. It is frozen here too (train_cnn.py:158)
+        # and an int8 STE path exists (models/resnet_q.py — pass a
+        # quantize_classifier() pytree as classifier_params to use it,
+        # trajectory-tested), but it MEASURED SLOWER on chip: 606.9 vs
+        # 662.0 img/s at b64/224 bf16 — 53 BN-interleaved convs pay a
+        # dynamic quant/requant pass each in forward AND STE backward,
+        # the same structural cost that closed QAT (BENCH_NOTES round 3).
+        # The int8 classifier stays the dispatched win for the
+        # forward-only eval pipeline (+72%). Also note quantize_loss
+        # 'deep' has no effect on the VGG in this mode: the content loss
+        # uses just_content (relu2_2 early exit, train_cnn.py:64-68),
+        # which never reaches the quantized deep convs.
 
     # --- Content corpus (device-resident for the whole run) ----------------
     if content_stream is not None:

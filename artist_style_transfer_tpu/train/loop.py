@@ -204,6 +204,22 @@ def make_step_fns(
         if cdtype != jnp.float32 and not vgg_quant
         else vgg_params
     )
+    # Classifier-mode loss net: like the VGG, the frozen classifier's
+    # weights follow the compute dtype (conv operands must agree). The
+    # quantized pytree (models/resnet_q.quantize_classifier) is left
+    # untouched — its int8 weights / f32 scales / folded-BN biases are
+    # dtype-exact already.
+    from artist_style_transfer_tpu.models.resnet_q import classifier_is_quantized
+
+    clf_compute = (
+        jax.tree.map(lambda a: a.astype(cdtype), classifier_params)
+        if (
+            classifier_params is not None
+            and cdtype != jnp.float32
+            and not classifier_is_quantized(classifier_params)
+        )
+        else classifier_params
+    )
     if fold_mode and vgg_quant:
         from artist_style_transfer_tpu.models.vgg import fold_params_ok
 
@@ -254,7 +270,7 @@ def make_step_fns(
 
         def loss_fn(params, batch, content_r22, grams, labels, step, vgg_p=None, clf_p=None):
             vgg_p = vgg_compute if vgg_p is None else vgg_p
-            clf_p = classifier_params if clf_p is None else clf_p
+            clf_p = clf_compute if clf_p is None else clf_p
             if cdtype != jnp.float32:
                 params = jax.tree.map(lambda a: a.astype(cdtype), params)
                 batch = batch.astype(cdtype)
@@ -281,7 +297,20 @@ def make_step_fns(
                 # the reference's 0.546 typo; reference_typo_stats=True
                 # reproduces the typo for strict trajectory comparison)
                 rgb01 = bgr_to_rgb(gen) / 255.0
-                logits = classifier_apply(
+                from artist_style_transfer_tpu.models.resnet_q import (
+                    classifier_apply_int8,
+                    classifier_is_quantized,
+                )
+
+                # quantize_loss in classifier mode: the frozen classifier's
+                # forward + STE data gradient ride the int8 MXU, like the
+                # frozen VGG (models/resnet_q.py).
+                clf_apply = (
+                    classifier_apply_int8
+                    if classifier_is_quantized(clf_p)
+                    else classifier_apply
+                )
+                logits = clf_apply(
                     clf_p, torchvision_normalize(rgb01, reference_typo_stats)
                 )
                 s_loss = style_weight * cross_entropy_loss(logits, labels)
@@ -379,7 +408,7 @@ def make_step_fns(
     def epoch_jit(params, opt_state, content_data, content_r22, grams, labels, perm, base_step):
         return epoch_core(
             params, opt_state, content_data, content_r22, grams, labels,
-            perm, base_step, vgg_compute, classifier_params,
+            perm, base_step, vgg_compute, clf_compute,
         )
 
     # --- Streaming step (one jit per distinct batch shape) ------------------
@@ -408,14 +437,14 @@ def make_step_fns(
     def stream_step_jit(params, opt_state, batch, grams, labels, step):
         return stream_core(
             params, opt_state, batch, grams, labels, step,
-            vgg_params, vgg_compute, classifier_params,
+            vgg_params, vgg_compute, clf_compute,
         )
 
     def epoch_lower(params, opt_state, content_data, content_r22, grams, labels,
                     perm, base_step):
         return epoch_core.lower(
             params, opt_state, content_data, content_r22, grams, labels,
-            perm, base_step, vgg_compute, classifier_params,
+            perm, base_step, vgg_compute, clf_compute,
         )
 
     return StepFns(

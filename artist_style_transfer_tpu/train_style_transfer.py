@@ -48,7 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize_loss", nargs="?", const="deep", default=None,
                    choices=["deep", "all"],
                    help="run the frozen-VGG loss extractor on the int8 MXU "
-                        "(ops/qconv.py); 'deep' = conv3_1..conv4_3 only")
+                        "(ops/qconv.py); 'deep' = conv3_1..conv4_3 only. "
+                        "Inert for classifier mode (just_content VGG + the "
+                        "int8 classifier measured slower in training — "
+                        "BENCH_NOTES)")
     p.add_argument("--qat", nargs="?", const="trunk", default=None,
                    choices=["trunk", "all"],
                    help="int8-MXU QAT transformer forward/STE backward "

@@ -126,6 +126,41 @@ def test_stylize_spatial_matches_single_device():
     assert out_u8.shape[0] == 1 and out_u8.dtype == np.uint8
 
 
+def test_stylize_spatial_int8_matches_single_device():
+    """Int8 H-sharded stylization: the static activation scales make every
+    shard quantize identically, so the sharded int8 result matches the
+    single-device int8 path up to reduction-order noise."""
+    from artist_style_transfer_tpu.infer.stylize import (
+        stylize_int8,
+        stylize_spatial_int8,
+    )
+    from artist_style_transfer_tpu.models.transformer_q import quantize_transformer
+    from artist_style_transfer_tpu.ops.precision import precision
+
+    params = init_transformer_params(jax.random.key(0))
+    rng = np.random.default_rng(6)
+    calib = jnp.asarray(rng.random((2, 64, 48, 3)) * 255, jnp.float32)
+    img = (rng.random((64, 48, 3)) * 255).astype(np.float32)
+    mesh = make_mesh(shape=(4,))
+
+    with precision("default"):
+        qp = quantize_transformer(params, calib)
+        out_sp = np.asarray(
+            stylize_spatial_int8(qp, img, mesh, clip=False), np.float32
+        )
+        ref = np.asarray(
+            stylize_int8(qp, jnp.asarray(img)[None], clip=False), np.float32
+        )[0]
+    assert out_sp.shape == ref.shape
+    # bf16 IN arithmetic under different reduction orders: tolerance is in
+    # pixel units on a [0,255]-scale output
+    np.testing.assert_allclose(out_sp, ref, atol=1.5)
+    assert float(np.mean(np.abs(out_sp - ref))) < 0.2
+
+    out_u8 = np.asarray(stylize_spatial_int8(qp, img[None], mesh))
+    assert out_u8.shape[0] == 1 and out_u8.dtype == np.uint8
+
+
 def test_spatial_mesh_training_rejected():
     """Spatial ('space'>1) meshes are inference-only: XLA:CPU GSPMD
     miscompiles halo'd conv WEIGHT gradients when the H dim is sharded
