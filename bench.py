@@ -309,7 +309,8 @@ def get_eval_baseline() -> float:
 
 
 def measure_eval_throughput(
-    batch_size: int = 16, size: int = 288, iters: int = 8, quantize: bool = False
+    batch_size: int | None = None, size: int = 288, iters: int = 8,
+    quantize: bool = False,
 ) -> float:
     """Quantitative-eval pipeline images/sec: stylize -> crop -> classify.
 
@@ -317,6 +318,10 @@ def measure_eval_throughput(
     with host round trips; here the whole pipeline is one jitted graph.
     ``quantize=True`` runs the int8-MXU pipeline (quantized stylizer +
     quantized frozen classifier — infer.evaluate._eval_batch_int8).
+    Default batch follows the measured optimum per path (BENCH_NOTES
+    round-3 sweep: int8 scales to b128 = 2984 img/s; bf16 measured at
+    b16). The bf16 leg tries the folded program first and falls back to
+    the direct one on the round-3 toolchain's folded-compile crash.
     """
     import functools
 
@@ -334,6 +339,8 @@ def measure_eval_throughput(
     from artist_style_transfer_tpu.ops.precision import set_precision
 
     set_precision("default")
+    if batch_size is None:
+        batch_size = 128 if quantize else 16
     params = init_transformer_params(jax.random.key(0))
     clf = init_classifier_params(jax.random.key(1))
     x = jnp.asarray(
@@ -341,20 +348,31 @@ def measure_eval_throughput(
     )
     if quantize:
         params, clf = quantize_eval_pipeline(params, clf, x[:2])
-        eval_fn = _eval_batch_int8
+
+    def make_chain(eval_fn):
+        @functools.partial(jax.jit, static_argnums=1)
+        def chain(x, n):
+            def body(carry, _):
+                preds = eval_fn(params, clf, carry)
+                # real data dependence on the preds (a *0 gets
+                # constant-folded and the whole loop elided — measured!)
+                return carry + jnp.sum(preds).astype(carry.dtype) * 1e-12, None
+
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return jnp.sum(y)
+
+        return chain
+
+    if quantize:
+        chain = make_chain(_eval_batch_int8)
     else:
-        eval_fn = _eval_batch
-
-    @functools.partial(jax.jit, static_argnums=1)
-    def chain(x, n):
-        def body(carry, _):
-            preds = eval_fn(params, clf, carry)
-            # real data dependence on the preds (a *0 gets constant-folded
-            # and the whole loop elided — measured!)
-            return carry + jnp.sum(preds).astype(carry.dtype) * 1e-12, None
-
-        y, _ = jax.lax.scan(body, x, None, length=n)
-        return jnp.sum(y)
+        chain = make_chain(_eval_batch)
+        try:
+            float(chain(x, 1))
+        except jax.errors.JaxRuntimeError:
+            chain = make_chain(
+                functools.partial(_eval_batch, fold_batch=False)
+            )
 
     float(chain(x, 1))
     float(chain(x, iters))
