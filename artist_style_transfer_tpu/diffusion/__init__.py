@@ -15,6 +15,7 @@ from artist_style_transfer_tpu.diffusion.unet import diff_model_apply, init_diff
 from artist_style_transfer_tpu.diffusion.sample import (  # noqa: F401
     diff_sample,
     diff_sample_ddim,
+    diff_sample_dpmpp,
 )
 from artist_style_transfer_tpu.diffusion.train import train_diffusion  # noqa: F401
 from artist_style_transfer_tpu.diffusion.evaluate import cfid, frechet_distance  # noqa: F401

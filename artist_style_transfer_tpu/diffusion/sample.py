@@ -172,3 +172,93 @@ def diff_sample_ddim(
 
     (x, _), _ = jax.lax.scan(step, (x, key), jnp.asarray(pairs, jnp.int32))
     return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shape", "steps", "guidance_scale", "clip_x0")
+)
+def diff_sample_dpmpp(
+    params: dict,
+    diffusion: GaussianDiffusion,
+    key: jax.Array,
+    y: jax.Array,
+    shape: tuple[int, int] = (64, 64),
+    steps: int = 20,
+    classifier_params=None,
+    guidance_scale: float = 0.0,
+    clip_x0: bool = True,
+    classifier_y: jax.Array | None = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) sampling (Lu et al. 2022) — the fastest sampler.
+
+    A second-order multistep solver for the probability-flow ODE in the
+    data(x0)-prediction parameterization: each step extrapolates from the
+    current AND previous x0 predictions, so 10-20 model evaluations reach
+    the quality DDIM needs 50-100 for. Deterministic given the key (the
+    only randomness is the initial noise). Update rule, with
+    lambda_t = log(alpha_t / sigma_t) (half log-SNR), h_i = lambda_i -
+    lambda_{i-1}, r = h_{i-1} / h_i:
+
+        D_i = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}          (first step: x0_i)
+        x_i = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i
+
+    The final step (to the clean image) returns the second-order x0
+    extrapolation directly (the sigma -> 0 limit of the update).
+    Classifier guidance folds into eps before the x0 prediction, exactly
+    as in :func:`diff_sample_ddim`. Returns NHWC BGR [0, 255] float32.
+    """
+    import numpy as np
+
+    if classifier_y is None:
+        classifier_y = y
+    n = y.shape[0]
+    h_, w_ = shape
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, (n, h_, w_, 3), jnp.float32)
+    T = diffusion.num_timesteps
+    steps = min(steps, T)
+    ts = np.ascontiguousarray(
+        np.unique(np.linspace(0, T - 1, num=steps).round().astype(np.int64))[::-1]
+    )
+    # Schedule coefficients on the (static) subsequence. ``diffusion`` is a
+    # traced pytree under jit, so these stay jnp scalars; the Python loop
+    # below still unrolls statically over the subsequence.
+    acp = diffusion.alphas_cumprod[jnp.asarray(ts)].astype(jnp.float32)
+    alph = jnp.sqrt(acp)
+    sig = jnp.sqrt(1.0 - acp)
+    lam = jnp.log(alph / jnp.maximum(sig, 1e-20))
+
+    def predict_x0(x, t):
+        tb = jnp.full((n,), t, jnp.int32)
+        eps = diff_model_apply(params, x, tb, y)
+        x0 = diffusion.predict_x0_from_eps(x, tb, eps)
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        if classifier_params is not None and guidance_scale > 0.0:
+            a_t = diffusion.alphas_cumprod[t]
+            grad = _classifier_logprob_grad(classifier_params, x0, classifier_y)
+            eps = eps - guidance_scale * jnp.sqrt(1.0 - a_t) * grad
+            x0 = diffusion.predict_x0_from_eps(x, tb, eps)
+            if clip_x0:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    # Python loop over the (static, small) timestep subsequence: per-step
+    # solver constants fold at trace time, and each iteration reuses the
+    # previous iteration's model evaluation (the multistep trick — exactly
+    # one model eval per step). x ends at ts[-1] = 0, where the remaining
+    # sigma_0 ~ sqrt(beta_0) noise floor is negligible.
+    q_prev = predict_x0(x, int(ts[0]))  # Q_0 at the noisiest time
+    q_prev_prev = None
+    for i in range(1, len(ts)):
+        h_i = lam[i] - lam[i - 1]
+        if q_prev_prev is None:
+            D = q_prev  # first-order warmup step
+        else:
+            r = (lam[i - 1] - lam[i - 2]) / h_i
+            D = (1.0 + 1.0 / (2.0 * r)) * q_prev - (1.0 / (2.0 * r)) * q_prev_prev
+        x = (sig[i] / sig[i - 1]) * x - (alph[i] * jnp.expm1(-h_i)) * D
+        if i < len(ts) - 1:
+            q_prev_prev = q_prev
+            q_prev = predict_x0(x, int(ts[i]))
+    return jnp.clip((x + 1.0) * 127.5, 0.0, 255.0)

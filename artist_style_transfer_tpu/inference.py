@@ -114,19 +114,42 @@ def run_eval(args, params) -> float:
     rng.shuffle(files)
 
     content = []
-    for fname in files:
-        im = cv2.imread(os.path.join(args.content_dir, fname))
-        if im is None:
-            continue
-        if args.resize_imgs:
-            content.append(cv2.resize(im, (args.resize_size, args.resize_size)))
-        else:  # inference.py:93-98: skip weird sizes
-            h, w, _ = im.shape
-            if h > 1600 or w > 1024 or h < 224 or w < 224:
+    if args.resize_imgs:
+        # Fixed-size path: the native C++ decode+resize thread pool (same
+        # INTER_LINEAR semantics as the cv2 call below, golden-tested in
+        # tests/test_native_loader.py) amortizes the host decode of up to
+        # 133 images; falls back to the serial cv2 loop without the
+        # toolchain. Unreadable files are skipped either way
+        # (inference.py:88-89).
+        try:
+            from artist_style_transfer_tpu.data import native_loader
+
+            i = 0
+            while len(content) < args.num_images and i < len(files):
+                chunk = files[i : i + (args.num_images - len(content))]
+                i += len(chunk)
+                out, ok = native_loader.decode_batch(
+                    [os.path.join(args.content_dir, f) for f in chunk],
+                    args.resize_size,
+                    args.resize_size,
+                )
+                content.extend(out[k] for k in range(len(chunk)) if ok[k])
+        except RuntimeError:
+            content = []
+    if not content:
+        for fname in files:
+            im = cv2.imread(os.path.join(args.content_dir, fname))
+            if im is None:
                 continue
-            content.append(im)
-        if len(content) == args.num_images:
-            break
+            if args.resize_imgs:
+                content.append(cv2.resize(im, (args.resize_size, args.resize_size)))
+            else:  # inference.py:93-98: skip weird sizes
+                h, w, _ = im.shape
+                if h > 1600 or w > 1024 or h < 224 or w < 224:
+                    continue
+                content.append(im)
+            if len(content) == args.num_images:
+                break
     print(f"Grabbed {len(content)} images!\n")  # inference.py:102
 
     index = ARTISTS_19.index(args.artist)

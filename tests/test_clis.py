@@ -141,6 +141,14 @@ def test_diffusion_cli_train_and_sample(cli_workspace):
     ])
     assert os.path.exists(out_ddim)
 
+    # DPM-Solver++(2M) fast path
+    out_dpm = main([
+        "sample", "--model", model_path, "--artist", "Alfred_Sisley",
+        "--num_samples", "2", "--image_size", "16", "--num_timesteps", "8",
+        "--base_channels", "32", "--dpmpp_steps", "4", "--out", "figs/dsamp_dpm.png",
+    ])
+    assert os.path.exists(out_dpm)
+
     # conditioning on an artist outside the model's label space must fail
     # loudly, not silently sample the wrong class (class-id space mismatch)
     with pytest.raises(SystemExit):

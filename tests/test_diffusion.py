@@ -162,6 +162,70 @@ def test_diff_sample_ddim_deterministic_and_guided():
     assert np.all(np.isfinite(np.asarray(g))) and not np.allclose(np.asarray(g), o)
 
 
+def test_diff_sample_dpmpp_deterministic_and_converges():
+    """DPM-Solver++(2M): deterministic given the key, valid range, guided,
+    and — the second-order claim — closer to the fine-grained DDIM ODE
+    solution at a small step budget than first-order DDIM at that budget."""
+    from artist_style_transfer_tpu.diffusion import diff_sample_ddim, diff_sample_dpmpp
+    from artist_style_transfer_tpu.models.resnet import init_classifier_params
+
+    params = init_diff_model(jax.random.key(0), num_classes=3, base_channels=32)
+    diffusion = GaussianDiffusion.make(num_timesteps=T)
+    y = jnp.asarray([0, 2], jnp.int32)
+
+    a = diff_sample_dpmpp(params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=8)
+    b = diff_sample_dpmpp(params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=8)
+    assert a.shape == (2, HW, HW, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # deterministic
+    o = np.asarray(a)
+    assert o.min() >= 0.0 and o.max() <= 255.0 and np.all(np.isfinite(o))
+    c = diff_sample_dpmpp(params, diffusion, jax.random.key(9), y, shape=(HW, HW), steps=8)
+    assert not np.allclose(np.asarray(c), o)  # key changes the initial noise
+    clf = init_classifier_params(jax.random.key(2), num_classes=3)
+    g = diff_sample_dpmpp(
+        params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=8,
+        classifier_params=clf, guidance_scale=2.0,
+    )
+    assert np.all(np.isfinite(np.asarray(g))) and not np.allclose(np.asarray(g), o)
+
+    # Both samplers discretize the same probability-flow ODE: against a
+    # fine DDIM(eta=0) reference from the same initial noise, the 8-step
+    # DPM++ sample must land close on the [0,255] scale. (The ORDER claim
+    # is asserted on an analytic linear model below — a random-weight UNet
+    # under x0 clipping collapses every sampler to nearly the same image,
+    # so order comparisons here are noise.)
+    ref = np.asarray(
+        diff_sample_ddim(params, diffusion, jax.random.key(1), y, shape=(HW, HW), steps=T)
+    )
+    err_dpm = float(np.mean((o - ref) ** 2) ** 0.5)
+    assert err_dpm < 2.0, err_dpm
+
+
+def test_dpmpp_second_order_on_linear_model(monkeypatch):
+    """Solver-order check on analytic dynamics: with a LINEAR eps model
+    (eps = c*x, no clipping) the probability-flow ODE is smooth, and the
+    second-order multistep solver at a small step budget must beat
+    first-order DDIM at the same budget against a fine-step reference."""
+    import artist_style_transfer_tpu.diffusion.sample as smod
+
+    # Distinct shapes/T from every other test so the patched model gets a
+    # fresh trace (jit caches by shape, not by global identity).
+    monkeypatch.setattr(smod, "diff_model_apply", lambda p, x, t, y: 0.25 * x)
+    T2, HW2 = 200, 8
+    params = init_diff_model(jax.random.key(0), num_classes=3, base_channels=32)
+    diffusion = GaussianDiffusion.make(num_timesteps=T2)
+    y = jnp.asarray([0], jnp.int32)
+    kw = dict(shape=(HW2, HW2), clip_x0=False)
+
+    def rms(a, b):
+        return float(np.mean((np.asarray(a) - np.asarray(b)) ** 2) ** 0.5)
+
+    ref = smod.diff_sample_ddim(params, diffusion, jax.random.key(3), y, steps=T2, **kw)
+    err_dpm = rms(smod.diff_sample_dpmpp(params, diffusion, jax.random.key(3), y, steps=8, **kw), ref)
+    err_ddim = rms(smod.diff_sample_ddim(params, diffusion, jax.random.key(3), y, steps=8, **kw), ref)
+    assert err_dpm < err_ddim, (err_dpm, err_ddim)
+
+
 def test_unet_rejects_indivisible_extent():
     """H,W % 4 != 0 desyncs skip shapes; must fail with a clear error."""
     params = init_diff_model(jax.random.key(0), num_classes=2, base_channels=32)
