@@ -72,6 +72,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "preview_<epoch>.png (0 = off); file-based stand-in "
                         "for the reference's live matplotlib preview "
                         "(train_cnn.py:337-354)")
+    p.add_argument("--fold_batch", default="auto",
+                   choices=["auto", "on", "vgg", "off"],
+                   help="batch->H folding of the C<128 layers in the train "
+                        "step: 'auto'/'off' = direct (every fold granularity "
+                        "measured slower for training — BENCH_NOTES), 'on' = "
+                        "transformer+VGG fold, 'vgg' = loss-branch only")
+    p.add_argument("--max_epochs_this_run", type=int, default=None,
+                   help="stop after N epochs this invocation and persist the "
+                        "resume point (time-sliced runs; continue with "
+                        "--resume)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the second epoch here")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -125,6 +137,9 @@ def main(argv=None) -> None:
         quantize_loss=args.quantize_loss or False,
         qat=args.qat or False,
         quantize_gram={"auto": "auto", "on": True, "off": False}[args.quantize_gram],
+        fold_batch={"auto": "auto", "on": True, "vgg": "vgg", "off": False}[args.fold_batch],
+        max_epochs_this_run=args.max_epochs_this_run,
+        profile_dir=args.profile_dir,
         wordy=not args.quiet,
     )
 

@@ -64,6 +64,19 @@ def test_train_cli_quantize_gram_flag():
         p.parse_args(["--quantize_gram", "bogus"])
 
 
+def test_train_cli_fold_and_slicing_flags():
+    from artist_style_transfer_tpu.train_style_transfer import build_parser
+
+    p = build_parser()
+    d = p.parse_args([])
+    assert d.fold_batch == "auto" and d.max_epochs_this_run is None
+    a = p.parse_args(["--fold_batch", "vgg", "--max_epochs_this_run", "2",
+                      "--profile_dir", "/tmp/prof"])
+    assert (a.fold_batch, a.max_epochs_this_run, a.profile_dir) == ("vgg", 2, "/tmp/prof")
+    with pytest.raises(SystemExit):
+        p.parse_args(["--fold_batch", "bogus"])
+
+
 def test_inference_cli_display(cli_workspace):
     # reuse the checkpoint from a fresh tiny train
     from artist_style_transfer_tpu.inference import main as infer_main
