@@ -237,11 +237,13 @@ def test_transformer_folded_grads_match_direct():
 
 
 @pytest.mark.slow
-def test_folded_dp_step_matches_single_device():
+@pytest.mark.parametrize("fold", [True, "vgg"])
+def test_folded_dp_step_matches_single_device(fold):
     """DP fold via shard_map: each device folds its LOCAL batch shard
     (train.loop grad_fn_sharded); the mesh trajectory must match the
     single-device folded one (same global batches, pmean of per-shard
-    means == global mean for equal shards)."""
+    means == global mean for equal shards). Covers both fold modes
+    (transformer+VGG, and the 'vgg' loss-branch-only fold)."""
     from artist_style_transfer_tpu.parallel import (
         batch_sharding,
         make_mesh,
@@ -266,7 +268,7 @@ def test_folded_dp_step_matches_single_device():
             "cycle", vgg_params, None, targets,
             content_weight=17.0, style_weight=25.0,
             batch_size=b, num_content=n, tx=tx, mesh=mesh_arg,
-            use_pallas=False, fold_batch=True,
+            use_pallas=False, fold_batch=fold,
         )
         p = jax.tree.map(jnp.copy, params)
         c, r = content, r22_full
