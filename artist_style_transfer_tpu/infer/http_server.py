@@ -13,6 +13,12 @@ network face on :class:`~artist_style_transfer_tpu.infer.serve.StylizeServer`
   stylized image. Query knobs: ``format=jpg|png`` (default jpg),
   ``blur=<sigma>`` / ``sharpen=<amount>`` mirroring the reference's
   post-filters (inference.py:38-44, 119-125).
+- ``POST /v1/classify``              body = image bytes; response = JSON
+  artist prediction from the 19-class ResNet-50 (the reference's
+  quantitative-eval classifier, inference.py:153-166) on the int8 MXU
+  fast path (models/resnet_q.py). Input takes the eval transform
+  generalized to arbitrary sizes: shorter side scaled to 256, center
+  crop 256 (inference.py:56-59). Requires ``--classifier-path``.
 
 Design notes (TPU serving shape):
 
@@ -120,6 +126,78 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._error(404, f"unknown path {path}")
 
+    def _classify(self, parsed):
+        """POST /v1/classify — artist prediction on the int8 classifier."""
+        ctx = self.server_ctx
+        if ctx.get("classifier_params") is None:
+            return self._error(
+                503, "no classifier configured (start with --classifier-path)"
+            )
+        length = int(self.headers.get("Content-Length") or 0)
+        if length <= 0:
+            return self._error(400, "empty request body (expected image bytes)")
+        if length > ctx["max_body_bytes"]:
+            return self._error(
+                413, f"request body too large ({length} > {ctx['max_body_bytes']} bytes)"
+            )
+        data = self.rfile.read(length)
+        cv2 = _cv2()
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            return self._error(400, "could not decode image body")
+
+        state = ctx["clf_state"]
+        with state["lock"]:
+            if state["fn"] is None:
+                import jax
+                import jax.numpy as jnp
+
+                from artist_style_transfer_tpu.models.resnet_q import (
+                    classifier_apply_int8,
+                    quantize_classifier,
+                )
+                from artist_style_transfer_tpu.ops.image import (
+                    bgr_to_rgb,
+                    torchvision_normalize,
+                )
+
+                state["qp"] = quantize_classifier(ctx["classifier_params"])
+
+                @jax.jit
+                def probs(qp, x_bgr255):
+                    rgb01 = bgr_to_rgb(x_bgr255.astype(jnp.float32)) / 255.0
+                    logits = classifier_apply_int8(qp, torchvision_normalize(rgb01))
+                    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+                state["fn"] = probs
+        # Eval transform generalized to arbitrary sizes: shorter side to
+        # 256, center crop 256 (reference CenterCrop(256), inference.py:56-59).
+        h, w = img.shape[:2]
+        if min(h, w) != 256:
+            s = 256.0 / min(h, w)
+            img = cv2.resize(img, (max(256, round(w * s)), max(256, round(h * s))))
+            h, w = img.shape[:2]
+        y0, x0 = (h - 256) // 2, (w - 256) // 2
+        crop = img[y0 : y0 + 256, x0 : x0 + 256].astype(np.float32)
+        try:
+            p = np.asarray(state["fn"](state["qp"], crop[None]))[0]
+        except Exception as e:
+            return self._error(500, f"classify failed: {type(e).__name__}: {e}")
+        from artist_style_transfer_tpu.models.resnet import ARTISTS_19
+
+        order = np.argsort(p)[::-1][:3]
+        names = list(ARTISTS_19) if len(p) == len(ARTISTS_19) else [
+            str(i) for i in range(len(p))
+        ]
+        return self._json(
+            200,
+            {
+                "artist": names[int(order[0])],
+                "index": int(order[0]),
+                "top3": [[names[int(i)], float(p[i])] for i in order],
+            },
+        )
+
     def do_POST(self):  # noqa: N802 (stdlib API)
         ctx = self.server_ctx
         parsed = urlparse(self.path)
@@ -135,6 +213,8 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:
                 return self._error(500, f"reload failed: {e}")
             return self._json(200, {"model": name, "reloaded": bool(swapped)})
+        if path == "/v1/classify":
+            return self._classify(parsed)
         if path != "/v1/stylize":
             return self._error(404, f"unknown path {path}")
 
@@ -217,11 +297,15 @@ def make_http_server(
     port: int = 0,
     request_timeout_s: float = 120.0,
     max_body_bytes: int = 64 << 20,
+    classifier_params=None,
 ) -> ThreadingHTTPServer:
     """Build a ``ThreadingHTTPServer`` bound to ``host:port`` (0 = ephemeral).
 
     The caller owns the lifecycle: ``serve_forever()`` (or a thread running
     it) and ``shutdown()``; the ``StylizeServer`` is closed separately.
+    ``classifier_params`` (a :mod:`models.resnet` pytree) enables the
+    ``/v1/classify`` endpoint; it is quantized to the int8 fast path on
+    first use.
     """
     handler = type(
         "BoundHandler",
@@ -232,6 +316,8 @@ def make_http_server(
                 "server": server,
                 "timeout_s": request_timeout_s,
                 "max_body_bytes": int(max_body_bytes),
+                "classifier_params": classifier_params,
+                "clf_state": {"lock": threading.Lock(), "fn": None, "qp": None},
             }
         },
     )
@@ -279,6 +365,12 @@ def main(argv=None) -> None:
         help="serve int8-MXU quantized models (~1.4x throughput, ~64 dB PSNR "
         "vs the f32 parity path — models/transformer_q.py)",
     )
+    parser.add_argument(
+        "--classifier-path",
+        default=None,
+        help="ResNet-50 artist classifier checkpoint (models/best-2.pth) — "
+        "enables POST /v1/classify on the int8 fast path",
+    )
     args = parser.parse_args(argv)
 
     enable_compilation_cache()
@@ -296,6 +388,18 @@ def main(argv=None) -> None:
     if not registry.names():
         parser.error("no models registered (use --models-dir or --model)")
 
+    clf_params = None
+    if args.classifier_path:
+        from artist_style_transfer_tpu.utils.torch_import import (
+            classifier_params_from_torch,
+            load_torch_state_dict,
+        )
+
+        clf_params = classifier_params_from_torch(
+            load_torch_state_dict(args.classifier_path)
+        )
+        print(f"classifier loaded <- {args.classifier_path}")
+
     server = StylizeServer(
         registry=registry, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
     )
@@ -305,6 +409,7 @@ def main(argv=None) -> None:
         host=args.host,
         port=args.port,
         request_timeout_s=args.request_timeout_s,
+        classifier_params=clf_params,
     )
     print(f"serving {len(registry.names())} model(s) on {args.host}:{httpd.server_port}")
     try:

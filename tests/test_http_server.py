@@ -119,6 +119,58 @@ def test_stylize_post_filters(served):
     np.testing.assert_array_equal(got, want)
 
 
+def test_classify_endpoint():
+    """POST /v1/classify: int8 ResNet-50 artist prediction. A decisive
+    classifier (boosted fc2 bias) must return the boosted class; without
+    --classifier-path the endpoint reports 503."""
+    from artist_style_transfer_tpu.models.resnet import ARTISTS_19, init_classifier_params
+
+    p_a = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(3))
+    clf["head"]["fc2"]["b"] = clf["head"]["fc2"]["b"].at[5].add(100.0)
+    registry = ModelRegistry()
+    registry.register("renoir/random", params=p_a)
+    server = StylizeServer(registry=registry, max_batch=2, max_wait_ms=2.0)
+    httpd = make_http_server(
+        registry, server, host="127.0.0.1", port=0, classifier_params=clf
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        rng = np.random.default_rng(0)
+        img = (rng.random((300, 280, 3)) * 255).astype(np.uint8)
+        body = cv2.imencode(".png", img)[1].tobytes()
+        status, ctype, resp = _post(base + "/v1/classify", data=body)
+        assert status == 200 and "json" in ctype
+        out = json.loads(resp)
+        assert out["index"] == 5 and out["artist"] == ARTISTS_19[5]
+        assert len(out["top3"]) == 3 and out["top3"][0][0] == ARTISTS_19[5]
+        # small input upscales to the 256 crop
+        small = cv2.imencode(".png", img[:64, :64])[1].tobytes()
+        status2, _, resp2 = _post(base + "/v1/classify", data=small)
+        assert status2 == 200 and json.loads(resp2)["index"] == 5
+        # malformed body
+        try:
+            status3, _, _ = _post(base + "/v1/classify", data=b"not an image")
+        except urllib.error.HTTPError as e:
+            status3 = e.code
+        assert status3 == 400
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_classify_unconfigured_503(served):
+    base, _, _ = served
+    body = cv2.imencode(".png", np.zeros((256, 256, 3), np.uint8))[1].tobytes()
+    try:
+        status, _, _ = _post(base + "/v1/classify", data=body)
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 503
+
+
 def test_errors(served):
     base, _, _ = served
     img_png = cv2.imencode(".png", np.zeros((8, 8, 3), np.uint8))[1].tobytes()
