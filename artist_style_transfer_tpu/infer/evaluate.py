@@ -35,11 +35,13 @@ def _classify_stylized(out, clf_params, classify) -> jax.Array:
 
 
 def _eval_core(params, clf_params, images_bgr_255: jax.Array,
-               fold_batch: bool = True) -> jax.Array:
+               fold_batch: bool = False) -> jax.Array:
     """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
 
     ``fold_batch``: batch->H folded shallow transformer layers (fast
-    precision only; no-op for unfoldable shapes)."""
+    precision only; no-op for unfoldable shapes). Off by default — the
+    direct path is the dispatched winner (715.8 vs 644 img/s, BENCH_NOTES)
+    and fresh folded compiles crash the round-3/4 TPU compile helper."""
     out = transformer_apply(params, images_bgr_255, fold_batch=fold_batch)
     return _classify_stylized(out, clf_params, classifier_apply)
 
@@ -109,6 +111,7 @@ def evaluate_with_classifier(
     artists: tuple[str, ...] | None = None,
     mesh=None,
     quantize: bool = False,
+    fold_batch: bool = False,
 ) -> float:
     """Top-1 accuracy of the classifier recognizing the target artist.
 
@@ -127,6 +130,14 @@ def evaluate_with_classifier(
     stylizer + quantized frozen classifier, calibrated on the first few
     content images) — the eval throughput fast path; predictions may
     differ from the real-dtype pipeline by quantization rounding.
+
+    ``fold_batch=True`` opts into the batch->H folded stylizer (per-shard
+    under shard_map when a mesh divides the batch). Opt-in since round 4:
+    direct measured faster (715.8 vs 644 img/s bf16-b16, BENCH_NOTES) and
+    fresh folded compiles crash this toolchain's TPU compile helper — a
+    crash matching that known signature latches the process-wide direct
+    fallback (``infer.stylize._fold_broken``); other runtime errors
+    propagate.
     """
     if quantize:
         calib = [np.asarray(content_images[i]) for i in range(min(2, len(content_images)))]
@@ -145,14 +156,27 @@ def evaluate_with_classifier(
         classifier_params = jax.device_put(classifier_params, replicated_sharding(mesh))
     # One eval callable per call: int8 pipeline when quantized (no fold —
     # the int8 layouts are already healthy, and GSPMD shards the batch via
-    # the input sharding alone); per-shard folded under shard_map when the
-    # mesh divides the batch; unfolded global otherwise; folded
-    # single-device. ``fallback`` covers the round-3 toolchain regression
-    # where fresh folded compiles crash the TPU compile helper (see
-    # infer.stylize._fold_broken): the first crash latches the direct path.
+    # the input sharding alone). The direct bf16 path is the default
+    # (dispatched winner: 715.8 vs 644 folded img/s, BENCH_NOTES) and
+    # GSPMD shards it via the input sharding alone under a mesh. With
+    # ``fold_batch=True``: per-shard folded under shard_map when the mesh
+    # divides the batch, folded single-device otherwise; ``fallback``
+    # covers the round-3 toolchain regression where fresh folded compiles
+    # crash the TPU compile helper — only a crash matching the known
+    # signature latches the process-wide direct path
+    # (infer.stylize._fold_broken); other runtime errors propagate.
+    # NOTE: ``from ...infer import stylize`` would bind the re-exported
+    # *function* (infer/__init__ shadows the submodule attribute).
+    import artist_style_transfer_tpu.infer.stylize
+    import sys
+
+    _stylize_mod = sys.modules["artist_style_transfer_tpu.infer.stylize"]
+
     fallback = None
     if quantize:
         run = _eval_batch_int8
+    elif not fold_batch or _stylize_mod._fold_broken:
+        run = functools.partial(_eval_batch, fold_batch=False)
     elif mesh is not None and batch_size % mesh.devices.size == 0:
         run = _eval_batch_sharded(mesh)
         fallback = functools.partial(_eval_batch, fold_batch=False)
@@ -178,9 +202,10 @@ def evaluate_with_classifier(
                 chunk = jax.device_put(chunk, batch_sharding(mesh))
             try:
                 p = np.asarray(run(params, classifier_params, chunk))
-            except jax.errors.JaxRuntimeError:
-                if fallback is None:
+            except jax.errors.JaxRuntimeError as e:
+                if fallback is None or not _stylize_mod._is_fold_compile_crash(e):
                     raise
+                _stylize_mod._fold_broken = True
                 run, fallback = fallback, None
                 p = np.asarray(run(params, classifier_params, chunk))
             preds[take] = p[: len(take)]

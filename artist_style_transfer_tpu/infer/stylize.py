@@ -34,29 +34,59 @@ def _stylize_core(
 # transformer die in the TPU compile helper (fusion_emitter.cc:4273
 # `Check failed: window.window_bounds[i] == window.strides[i]`, SIGABRT —
 # reproduced compile-only at multiple shapes; round 2 compiled and
-# measured the same programs at 1015 img/s). Shapes already in the
-# persistent compilation cache still serve folded, so the folded path is
-# attempted first and the direct fast path (factored endpoint convs, ~854
-# img/s class) is latched on the first compiler crash. CPU/parity paths
-# are unaffected.
+# measured the same programs at 1015 img/s). Since round 4 the fold is
+# OPT-IN (it measured neutral-at-best vs the direct factored-endpoint
+# path even when it compiled — BENCH_NOTES fold sections — so under the
+# dispatched-winners-only policy the default path never attempts it);
+# when explicitly requested, a compile crash matching the known
+# signature latches this flag and falls back to the direct path. Any
+# other runtime error propagates (a transient device error must not
+# silently demote the process).
 _fold_broken = False
 
+# Substrings identifying the known folded-compile crash in the
+# JaxRuntimeError the relay surfaces when the compile helper SIGABRTs.
+# Probed on-chip (round 4): the surfaced message is
+# "INTERNAL: http://.../remote_compile: HTTP 500: tpu_compile_helper
+#  subprocess exit signal SIGABRT (6)" — the fusion_emitter check text
+# stays helper-side; match the helper-death line (any signal) plus the
+# check text in case a future toolchain surfaces it directly.
+_FOLD_CRASH_SIGNATURES = (
+    "tpu_compile_helper subprocess exit signal",
+    "fusion_emitter",
+    "window.window_bounds",
+)
 
-def stylize(params, images_bgr_255: jax.Array, clip: bool = True) -> jax.Array:
+
+def _is_fold_compile_crash(e: BaseException) -> bool:
+    msg = str(e)
+    return any(s in msg for s in _FOLD_CRASH_SIGNATURES)
+
+
+def stylize(
+    params, images_bgr_255: jax.Array, clip: bool = True, fold_batch: bool = False
+) -> jax.Array:
     """Stylize a batch: NHWC BGR [0,255] -> NHWC BGR (uint8 if clip).
 
     Accepts uint8 input directly — the cast to float happens on-device, so
     the host->device transfer is 1 byte/channel instead of 4 (serving-path
     bandwidth). Clipping to [0,255] matches the reference's save-time clip
-    (inference.py:116, train_cnn.py:112). Dispatches the batch->H folded
-    fast path, falling back to the direct formulation if the toolchain's
-    folded compile is broken (see ``_fold_broken`` above).
+    (inference.py:116, train_cnn.py:112).
+
+    ``fold_batch=True`` opts into the batch->H folded formulation (active
+    only under fast precision and foldable shapes). It is opt-in because
+    it measured neutral-at-best vs the direct path (BENCH_NOTES) and
+    fresh folded compiles crash the round-3/4 TPU compile helper; when a
+    crash matches that known signature the process latches the direct
+    path (``_fold_broken``), while any other runtime error propagates.
     """
     global _fold_broken
-    if not _fold_broken:
+    if fold_batch and not _fold_broken:
         try:
             return _stylize_core(params, images_bgr_255, clip, True)
-        except jax.errors.JaxRuntimeError:
+        except jax.errors.JaxRuntimeError as e:
+            if not _is_fold_compile_crash(e):
+                raise
             _fold_broken = True
     return _stylize_core(params, images_bgr_255, clip, False)
 

@@ -69,8 +69,11 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     produce a number):
       1. int8-MXU quantized net (infer.stylize_int8; ~64 dB PSNR vs the
          f32 parity path on the golden net, tests/test_quant.py);
-      2. bf16 batch->H folded path (~90 dB PSNR);
-      3. direct bf16.
+      2. direct bf16 (~90 dB PSNR; the dispatched bf16 winner — 1014.9
+         vs 1012.5 img/s folded, and the fold SIGABRTs fresh compiles on
+         the round-3/4 toolchain);
+      3. bf16 batch->H folded (last resort, kept for older toolchains
+         where it compiled).
     All are far above the 35 dB parity bar; the f32 'highest' parity mode
     is covered by tests.
     """
@@ -133,10 +136,10 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
     except Exception:
         pass
     legs.append(
-        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=True)))
+        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=False)))
     )
     legs.append(
-        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=False)))
+        (params_bf, make_chain(functools.partial(transformer_apply, fold_batch=True)))
     )
 
     for p, chain in legs:
@@ -319,9 +322,10 @@ def measure_eval_throughput(
     ``quantize=True`` runs the int8-MXU pipeline (quantized stylizer +
     quantized frozen classifier — infer.evaluate._eval_batch_int8).
     Default batch follows the measured optimum per path (BENCH_NOTES
-    round-3 sweep: int8 scales to b128 = 2984 img/s; bf16 measured at
-    b16). The bf16 leg tries the folded program first and falls back to
-    the direct one on the round-3 toolchain's folded-compile crash.
+    round-3 sweep: int8 scales to b128 = 2984 img/s; bf16 direct at
+    b16). The bf16 leg runs the direct (unfolded) program — the
+    dispatched winner (715.8 vs 644 img/s folded) and the only one this
+    toolchain's compile helper can freshly compile.
     """
     import functools
 
@@ -366,13 +370,7 @@ def measure_eval_throughput(
     if quantize:
         chain = make_chain(_eval_batch_int8)
     else:
-        chain = make_chain(_eval_batch)
-        try:
-            float(chain(x, 1))
-        except jax.errors.JaxRuntimeError:
-            chain = make_chain(
-                functools.partial(_eval_batch, fold_batch=False)
-            )
+        chain = make_chain(functools.partial(_eval_batch, fold_batch=False))
 
     float(chain(x, 1))
     float(chain(x, iters))

@@ -51,15 +51,48 @@ def test_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_stylize_folded_compile_crash_falls_back(monkeypatch):
-    """Round-3 toolchain mitigation: when the folded forward's compile dies
-    (JaxRuntimeError from the TPU compile helper), stylize() retries the
-    direct path and LATCHES it for subsequent calls."""
+# The exact message the relay surfaces when the folded compile SIGABRTs the
+# TPU compile helper (probed on-chip, round 4 — see stylize._FOLD_CRASH_SIGNATURES).
+_CRASH_MSG = (
+    "INTERNAL: http://127.0.0.1:8103/remote_compile: HTTP 500: "
+    "tpu_compile_helper subprocess exit signal SIGABRT (6)"
+)
+
+
+def _stylize_module():
     import importlib
 
     # NOTE: ``import ...infer.stylize as S`` would bind the re-exported
     # *function* (infer/__init__ shadows the submodule attribute).
-    S = importlib.import_module("artist_style_transfer_tpu.infer.stylize")
+    return importlib.import_module("artist_style_transfer_tpu.infer.stylize")
+
+
+def test_stylize_default_never_folds(monkeypatch):
+    """Winners-only dispatch (round 4): the default stylize path is the
+    direct formulation — no folded compile is ever attempted."""
+    S = _stylize_module()
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)) * 255, jnp.float32)
+    real = S._stylize_core
+    calls = []
+
+    def fake(params, images, clip=True, fold_batch=True):
+        calls.append(fold_batch)
+        return real(params, images, clip, False)
+
+    monkeypatch.setattr(S, "_stylize_core", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    out = S.stylize(params, x)
+    assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
+    assert calls == [False]
+    assert not S._fold_broken
+
+
+def test_stylize_folded_compile_crash_falls_back(monkeypatch):
+    """Round-3 toolchain mitigation: when the opt-in folded forward's
+    compile dies with the KNOWN helper-crash signature, stylize() retries
+    the direct path and LATCHES it for subsequent calls."""
+    S = _stylize_module()
 
     params = init_transformer_params(jax.random.key(0))
     x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)) * 255, jnp.float32)
@@ -69,40 +102,117 @@ def test_stylize_folded_compile_crash_falls_back(monkeypatch):
     def fake(params, images, clip=True, fold_batch=True):
         calls.append(fold_batch)
         if fold_batch:
-            raise jax.errors.JaxRuntimeError("INTERNAL: simulated compiler crash")
+            raise jax.errors.JaxRuntimeError(_CRASH_MSG)
         return real(params, images, clip, False)
 
     monkeypatch.setattr(S, "_stylize_core", fake)
     monkeypatch.setattr(S, "_fold_broken", False)
-    out = S.stylize(params, x)
+    out = S.stylize(params, x, fold_batch=True)
     assert out.shape == (2, 32, 32, 3) and out.dtype == jnp.uint8
-    out2 = S.stylize(params, x)
+    out2 = S.stylize(params, x, fold_batch=True)
     assert out2.shape == (2, 32, 32, 3)
     # first call tried folded then fell back; second went direct immediately
     assert calls == [True, False, False]
     assert S._fold_broken
 
 
+def test_stylize_non_compile_runtime_error_propagates(monkeypatch):
+    """A JaxRuntimeError that is NOT the known folded-compile crash (e.g. a
+    transient device/relay failure) must propagate and must NOT latch the
+    direct-path fallback (VERDICT r03 next-step #3)."""
+    S = _stylize_module()
+
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)) * 255, jnp.float32)
+
+    def fake(params, images, clip=True, fold_batch=True):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: HBM OOM while allocating")
+
+    monkeypatch.setattr(S, "_stylize_core", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE_EXHAUSTED"):
+        S.stylize(params, x, fold_batch=True)
+    assert not S._fold_broken
+
+
 def test_evaluate_folded_compile_crash_falls_back(monkeypatch):
     import artist_style_transfer_tpu.infer.evaluate as E
     from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
 
+    S = _stylize_module()
     params = init_transformer_params(jax.random.key(0))
     clf = init_classifier_params(jax.random.key(1))
     content = (np.random.default_rng(2).random((2, 288, 288, 3)) * 255).astype(np.float32)
     real = E._eval_batch
     calls = []
 
-    def fake(params, clf_params, images, fold_batch=True):
+    def fake(params, clf_params, images, fold_batch=False):
         calls.append(fold_batch)
         if fold_batch:
-            raise jax.errors.JaxRuntimeError("INTERNAL: simulated compiler crash")
+            raise jax.errors.JaxRuntimeError(_CRASH_MSG)
         return real(params, clf_params, images, fold_batch=False)
 
     monkeypatch.setattr(E, "_eval_batch", fake)
-    acc = evaluate_with_classifier(params, clf, content, artist_index=0, batch_size=2, wordy=False)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    acc = evaluate_with_classifier(
+        params, clf, content, artist_index=0, batch_size=2, wordy=False, fold_batch=True
+    )
     assert 0.0 <= acc <= 100.0
     assert calls == [True, False]
+    # the crash latches the module-scope flag, so the NEXT call (even a new
+    # evaluate_with_classifier) dispatches direct immediately (ADVICE r03)
+    assert S._fold_broken
+    calls.clear()
+    evaluate_with_classifier(
+        params, clf, content, artist_index=0, batch_size=2, wordy=False, fold_batch=True
+    )
+    assert calls == [False]
+
+
+def test_evaluate_default_never_folds(monkeypatch):
+    import artist_style_transfer_tpu.infer.evaluate as E
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+
+    S = _stylize_module()
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    content = (np.random.default_rng(2).random((2, 288, 288, 3)) * 255).astype(np.float32)
+    real = E._eval_batch
+    calls = []
+
+    def fake(params, clf_params, images, fold_batch=False):
+        calls.append(fold_batch)
+        return real(params, clf_params, images, fold_batch=False)
+
+    monkeypatch.setattr(E, "_eval_batch", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    evaluate_with_classifier(params, clf, content, artist_index=0, batch_size=2, wordy=False)
+    assert calls == [False]
+    assert not S._fold_broken
+
+
+def test_evaluate_non_compile_runtime_error_propagates(monkeypatch):
+    """A non-compile runtime error from the (opt-in) folded eval must NOT be
+    swallowed by the fallback retry — it propagates, and nothing latches."""
+    import artist_style_transfer_tpu.infer.evaluate as E
+    from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
+
+    S = _stylize_module()
+    params = init_transformer_params(jax.random.key(0))
+    clf = init_classifier_params(jax.random.key(1))
+    content = (np.random.default_rng(2).random((2, 288, 288, 3)) * 255).astype(np.float32)
+
+    def fake(params, clf_params, images, fold_batch=False):
+        raise jax.errors.JaxRuntimeError("DATA_LOSS: relay stream reset mid-transfer")
+
+    monkeypatch.setattr(E, "_eval_batch", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="DATA_LOSS"):
+        evaluate_with_classifier(
+            params, clf, content, artist_index=0, batch_size=2, wordy=False,
+            fold_batch=True,
+        )
+    assert not S._fold_broken
 
 
 def test_evaluate_with_classifier_counts():
@@ -118,9 +228,10 @@ def test_evaluate_with_classifier_counts():
 
 
 def test_evaluate_with_classifier_mesh_matches_single_device():
-    """Mesh eval (batch sharded, per-shard fold under shard_map in fast
-    precision — infer.evaluate._eval_batch_sharded) predicts the same
-    classes as the single-device path."""
+    """Mesh eval predicts the same classes as the single-device path, both
+    on the default direct path (batch sharded via GSPMD input sharding)
+    and the opt-in per-shard fold under shard_map
+    (infer.evaluate._eval_batch_sharded)."""
     from artist_style_transfer_tpu.infer.evaluate import evaluate_with_classifier
     from artist_style_transfer_tpu.ops.precision import precision
     from artist_style_transfer_tpu.parallel import make_mesh
@@ -139,7 +250,12 @@ def test_evaluate_with_classifier_mesh_matches_single_device():
             params, clf, content, artist_index=0, batch_size=8, wordy=False,
             mesh=mesh,
         )
+        acc_mesh_fold = evaluate_with_classifier(
+            params, clf, content, artist_index=0, batch_size=8, wordy=False,
+            mesh=mesh, fold_batch=True,
+        )
     assert acc_mesh == acc_single
+    assert acc_mesh_fold == acc_single
 
 
 def test_evaluate_with_classifier_mixed_sizes():
