@@ -202,13 +202,21 @@ def diff_sample_dpmpp(
         D_i = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}          (first step: x0_i)
         x_i = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i
 
-    The final step (to the clean image) returns the second-order x0
-    extrapolation directly (the sigma -> 0 limit of the update).
-    Classifier guidance folds into eps before the x0 prediction, exactly
-    as in :func:`diff_sample_ddim`. Returns NHWC BGR [0, 255] float32.
+    The final step applies the same multistep update with t = 0 as the
+    target: there sigma_0 = sqrt(beta_0) is the schedule's tiny noise
+    floor rather than exactly zero, so x keeps a negligible
+    (sig_0/sig_prev) carry of the previous state plus the second-order D
+    term. Requires ``steps >= 2`` (a single step would never enter the
+    update loop and return the initial Gaussian noise). Classifier
+    guidance folds into eps before the x0 prediction, exactly as in
+    :func:`diff_sample_ddim`. Returns NHWC BGR [0, 255] float32.
     """
     import numpy as np
 
+    if steps < 2:
+        raise ValueError(
+            f"diff_sample_dpmpp needs steps >= 2 (multistep solver), got {steps}"
+        )
     if classifier_y is None:
         classifier_y = y
     n = y.shape[0]
