@@ -19,6 +19,9 @@ network face on :class:`~artist_style_transfer_tpu.infer.serve.StylizeServer`
   fast path (models/resnet_q.py). Input takes the eval transform
   generalized to arbitrary sizes: shorter side scaled to 256, center
   crop 256 (inference.py:56-59). Requires ``--classifier-path``.
+  Concurrent requests coalesce into MXU batches through the same
+  micro-batcher as stylize (every transformed input is a 256x256 crop,
+  so all classify traffic shares one batch shape).
 
 Design notes (TPU serving shape):
 
@@ -148,7 +151,7 @@ class _Handler(BaseHTTPRequestHandler):
 
         state = ctx["clf_state"]
         with state["lock"]:
-            if state["fn"] is None:
+            if state["server"] is None:
                 import jax
                 import jax.numpy as jnp
 
@@ -161,7 +164,7 @@ class _Handler(BaseHTTPRequestHandler):
                     torchvision_normalize,
                 )
 
-                state["qp"] = quantize_classifier(ctx["classifier_params"])
+                qp = quantize_classifier(ctx["classifier_params"])
 
                 @jax.jit
                 def probs(qp, x_bgr255):
@@ -169,7 +172,18 @@ class _Handler(BaseHTTPRequestHandler):
                     logits = classifier_apply_int8(qp, torchvision_normalize(rgb01))
                     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-                state["fn"] = probs
+                # Classification rides the same micro-batcher as stylize
+                # (serve.StylizeServer with a custom apply_fn): every
+                # request is a 256x256 uint8 crop after the eval transform,
+                # so ALL concurrent classify traffic coalesces into single
+                # int8-MXU batches instead of batch-1 dispatches per
+                # connection thread.
+                state["server"] = StylizeServer(
+                    params=qp,
+                    max_batch=ctx["clf_max_batch"],
+                    max_wait_ms=ctx["clf_max_wait_ms"],
+                    apply_fn=lambda p, x: np.asarray(probs(p, x)),
+                )
         # Eval transform generalized to arbitrary sizes: shorter side to
         # 256, center crop 256 (reference CenterCrop(256), inference.py:56-59).
         h, w = img.shape[:2]
@@ -178,9 +192,9 @@ class _Handler(BaseHTTPRequestHandler):
             img = cv2.resize(img, (max(256, round(w * s)), max(256, round(h * s))))
             h, w = img.shape[:2]
         y0, x0 = (h - 256) // 2, (w - 256) // 2
-        crop = img[y0 : y0 + 256, x0 : x0 + 256].astype(np.float32)
+        crop = np.ascontiguousarray(img[y0 : y0 + 256, x0 : x0 + 256], np.uint8)
         try:
-            p = np.asarray(state["fn"](state["qp"], crop[None]))[0]
+            p = state["server"].submit(crop).result(timeout=ctx["timeout_s"])
         except Exception as e:
             return self._error(500, f"classify failed: {type(e).__name__}: {e}")
         from artist_style_transfer_tpu.models.resnet import ARTISTS_19
@@ -298,14 +312,18 @@ def make_http_server(
     request_timeout_s: float = 120.0,
     max_body_bytes: int = 64 << 20,
     classifier_params=None,
+    classify_max_batch: int = 8,
+    classify_max_wait_ms: float = 3.0,
 ) -> ThreadingHTTPServer:
     """Build a ``ThreadingHTTPServer`` bound to ``host:port`` (0 = ephemeral).
 
     The caller owns the lifecycle: ``serve_forever()`` (or a thread running
     it) and ``shutdown()``; the ``StylizeServer`` is closed separately.
     ``classifier_params`` (a :mod:`models.resnet` pytree) enables the
-    ``/v1/classify`` endpoint; it is quantized to the int8 fast path on
-    first use.
+    ``/v1/classify`` endpoint; it is quantized to the int8 fast path and
+    wrapped in its own micro-batcher (``classify_max_batch`` /
+    ``classify_max_wait_ms``) on first use — close it via
+    :func:`close_classify_server`.
     """
     handler = type(
         "BoundHandler",
@@ -317,11 +335,22 @@ def make_http_server(
                 "timeout_s": request_timeout_s,
                 "max_body_bytes": int(max_body_bytes),
                 "classifier_params": classifier_params,
-                "clf_state": {"lock": threading.Lock(), "fn": None, "qp": None},
+                "clf_max_batch": int(classify_max_batch),
+                "clf_max_wait_ms": float(classify_max_wait_ms),
+                "clf_state": {"lock": threading.Lock(), "server": None},
             }
         },
     )
     return ThreadingHTTPServer((host, port), handler)
+
+
+def close_classify_server(httpd: ThreadingHTTPServer, timeout: float | None = 10.0) -> None:
+    """Close the lazily-created classify micro-batcher, if it ever started."""
+    state = httpd.RequestHandlerClass.server_ctx["clf_state"]
+    with state["lock"]:
+        srv = state["server"]
+    if srv is not None:
+        srv.close(timeout)
 
 
 def main(argv=None) -> None:
@@ -419,6 +448,7 @@ def main(argv=None) -> None:
     finally:
         httpd.shutdown()
         server.close()
+        close_classify_server(httpd)
 
 
 if __name__ == "__main__":

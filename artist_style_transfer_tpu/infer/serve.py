@@ -167,14 +167,21 @@ class StylizeServer:
     model. Multi-tenant: ``StylizeServer(registry=reg)``; each request
     names its model and batches form per (model, H, W) — models hot-swap
     through :class:`ModelRegistry` without touching the server.
+
+    ``apply_fn(params, images) -> np.ndarray`` overrides the model call —
+    any per-image jitted pipeline batches through the same coalescing
+    machinery (the HTTP ``/v1/classify`` endpoint rides this with the int8
+    classifier: every request is a 256x256 crop, so ALL concurrent
+    classify traffic coalesces into single MXU batches).
     """
 
     def __init__(self, params=None, max_batch: int = 8, max_wait_ms: float = 3.0,
-                 registry: ModelRegistry | None = None):
+                 registry: ModelRegistry | None = None, apply_fn=None):
         if (params is None) == (registry is None):
             raise ValueError("pass exactly one of params= or registry=")
         self._params = params
         self._registry = registry
+        self._apply = apply_fn if apply_fn is not None else _apply_params
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._lock = threading.Condition()
@@ -281,7 +288,7 @@ class StylizeServer:
                     if self._registry is None
                     else self._registry.get(key[0])
                 )
-                out = _apply_params(params, jnp.asarray(images))
+                out = self._apply(params, jnp.asarray(images))
             except Exception as e:  # propagate compile/device failures per-request
                 for _, fut in batch:
                     try:

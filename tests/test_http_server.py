@@ -156,9 +156,31 @@ def test_classify_endpoint():
         except urllib.error.HTTPError as e:
             status3 = e.code
         assert status3 == 400
+
+        # Concurrent classify requests ride the classify micro-batcher
+        # (deterministic coalescing itself is proven at the serve level,
+        # test_serve.py::test_custom_apply_fn_coalesces): all succeed and
+        # the batcher accounted for every image.
+        n = 4
+        results = [None] * n
+
+        def fire(i):
+            results[i] = _post(base + "/v1/classify", data=body)
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r[0] == 200 and json.loads(r[2])["index"] == 5 for r in results)
+        clf_server = httpd.RequestHandlerClass.server_ctx["clf_state"]["server"]
+        assert clf_server.stats["images"] == 2 + n  # 2 warm-up singles + n
     finally:
         httpd.shutdown()
         server.close()
+        from artist_style_transfer_tpu.infer.http_server import close_classify_server
+
+        close_classify_server(httpd)
 
 
 def test_classify_unconfigured_503(served):

@@ -54,6 +54,37 @@ def test_server_batches_concurrent_requests(params):
         srv.close()
 
 
+def test_custom_apply_fn_coalesces():
+    """``apply_fn`` overrides the model call (what the HTTP /v1/classify
+    endpoint rides): outputs route per-image, and same-shape traffic
+    coalesces into shared batches exactly like the stylize path."""
+    calls = []
+
+    def apply_fn(p, images):
+        x = np.asarray(images, np.float32)
+        calls.append(x.shape[0])
+        return x.sum(axis=(1, 2, 3))  # per-image scalar "prediction"
+
+    srv = StylizeServer(
+        params=object(), max_batch=8, max_wait_ms=250.0, apply_fn=apply_fn
+    )
+    try:
+        rng = np.random.default_rng(7)
+        imgs = [_img(rng, 16, 16) for _ in range(9)]
+        first = srv.submit(imgs[0]).result(timeout=60)
+        np.testing.assert_allclose(first, imgs[0].astype(np.float32).sum(), rtol=1e-6)
+        futs = [srv.submit(im) for im in imgs[1:]]
+        for im, f in zip(imgs[1:], futs):
+            np.testing.assert_allclose(
+                f.result(timeout=60), im.astype(np.float32).sum(), rtol=1e-6
+            )
+        assert calls[0] == 1 and sum(calls) == 9
+        # the 8 requests queued inside the batching window coalesced
+        assert len(calls) == 2
+    finally:
+        srv.close()
+
+
 def test_server_mixed_shapes(params):
     rng = np.random.default_rng(2)
     srv = StylizeServer(params, max_batch=4, max_wait_ms=10.0)
