@@ -321,11 +321,12 @@ def measure_eval_throughput(
     with host round trips; here the whole pipeline is one jitted graph.
     ``quantize=True`` runs the int8-MXU pipeline (quantized stylizer +
     quantized frozen classifier — infer.evaluate._eval_batch_int8).
-    Default batch follows the measured optimum per path (BENCH_NOTES
-    round-3 sweep: int8 scales to b128 = 2984 img/s; bf16 direct at
-    b16). The bf16 leg runs the direct (unfolded) program — the
-    dispatched winner (715.8 vs 644 img/s folded) and the only one this
-    toolchain's compile helper can freshly compile.
+    Default batch follows the measured optimum per path — b128 for BOTH
+    (BENCH_NOTES round-3 int8 sweep: 2984 img/s; round-4 bf16 direct
+    sweep: 1600.4 img/s, monotonic b16->b128). The bf16 leg runs the
+    direct (unfolded) program — the dispatched winner (814 vs 644 img/s
+    at b16) and the only one this toolchain's compile helper can freshly
+    compile.
     """
     import functools
 
@@ -344,7 +345,7 @@ def measure_eval_throughput(
 
     set_precision("default")
     if batch_size is None:
-        batch_size = 128 if quantize else 16
+        batch_size = 128
     params = init_transformer_params(jax.random.key(0))
     clf = init_classifier_params(jax.random.key(1))
     x = jnp.asarray(
