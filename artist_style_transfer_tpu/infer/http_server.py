@@ -6,7 +6,8 @@ network face on :class:`~artist_style_transfer_tpu.infer.serve.StylizeServer`
 + :class:`~artist_style_transfer_tpu.infer.serve.ModelRegistry`:
 
 - ``GET  /healthz``                  liveness probe
-- ``GET  /statsz``                   batcher counters (batches, images)
+- ``GET  /statsz``                   batcher counters (batches, images;
+  plus a ``classify`` sub-object once that batcher has started)
 - ``GET  /v1/models``                registered model names (JSON)
 - ``POST /v1/models/<name>/reload``  force a checkpoint re-read
 - ``POST /v1/stylize?model=<name>``  body = JPEG/PNG bytes; response =
@@ -123,7 +124,12 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/healthz":
             self._json(200, {"status": "ok"})
         elif path == "/statsz":
-            self._json(200, dict(ctx["server"].stats))
+            stats = dict(ctx["server"].stats)
+            with ctx["clf_state"]["lock"]:
+                clf_srv = ctx["clf_state"]["server"]
+            if clf_srv is not None:
+                stats["classify"] = dict(clf_srv.stats)
+            self._json(200, stats)
         elif path == "/v1/models":
             self._json(200, {"models": ctx["registry"].names()})
         else:

@@ -92,6 +92,7 @@ def test_batch_norm_train_parity_vs_torch_2d_and_1d():
     )
 
 
+@pytest.mark.slow
 def test_classifier_train_forward_and_stat_update():
     params = init_classifier_params(jax.random.key(0), num_classes=4)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 64, 64, 3)), jnp.float32)
@@ -141,6 +142,7 @@ def _separable_data(n_per_class=12, size=48, num_classes=3, seed=0):
     return np.concatenate(xs), np.concatenate(ys)
 
 
+@pytest.mark.slow
 def test_train_classifier_learns():
     """Full fine-tune memorizes tiny separable data; eval-mode validation
     follows once the BN running stats catch the batch stats (bn_momentum
@@ -160,6 +162,7 @@ def test_train_classifier_learns():
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_train_classifier_freeze_body_semantics():
     """freeze_body=True: body conv weights untouched, head + BN affines
     trained, BN running stats still updated (fastai freeze() train_bn)."""
@@ -186,6 +189,7 @@ def test_train_classifier_freeze_body_semantics():
     )
 
 
+@pytest.mark.slow
 def test_train_classifier_mesh_matches_single_device():
     """DP training step == single-device: BN reductions become global-batch
     stats under GSPMD automatically (batch sharded over the 8-device mesh)."""

@@ -124,6 +124,7 @@ def test_gatys_cli(cli_workspace):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_diffusion_cli_train_and_sample(cli_workspace):
     from artist_style_transfer_tpu.diffusion.cli import main
 

@@ -134,6 +134,7 @@ def test_folded_step_matches_unfolded(mode, fold):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_vgg_fold_with_quantized_deep_loss():
     """fold_batch='vgg' composes with quantize_loss='deep': the folded bf16
     shallow blocks meet the int8-MXU deep blocks at the pool2 unfold, and
@@ -194,6 +195,7 @@ def test_vgg_fold_rejects_shallow_quantized_loss():
         )
 
 
+@pytest.mark.slow
 def test_transformer_folded_matches_direct():
     """Folded transformer forward == direct fast-mode forward (all shapes)."""
     from artist_style_transfer_tpu.models.transformer import transformer_apply

@@ -119,6 +119,7 @@ def test_stylize_post_filters(served):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_classify_endpoint():
     """POST /v1/classify: int8 ResNet-50 artist prediction. A decisive
     classifier (boosted fc2 bias) must return the boosted class; without
@@ -175,6 +176,9 @@ def test_classify_endpoint():
         assert all(r[0] == 200 and json.loads(r[2])["index"] == 5 for r in results)
         clf_server = httpd.RequestHandlerClass.server_ctx["clf_state"]["server"]
         assert clf_server.stats["images"] == 2 + n  # 2 warm-up singles + n
+        # the classify batcher's counters surface on /statsz once started
+        _, stats_body = _get(base + "/statsz")
+        assert json.loads(stats_body)["classify"]["images"] == 2 + n
     finally:
         httpd.shutdown()
         server.close()

@@ -227,6 +227,7 @@ def test_evaluate_with_classifier_counts():
     assert 0.0 <= acc <= 100.0
 
 
+@pytest.mark.slow
 def test_evaluate_with_classifier_mesh_matches_single_device():
     """Mesh eval predicts the same classes as the single-device path, both
     on the default direct path (batch sharded via GSPMD input sharding)
@@ -258,6 +259,7 @@ def test_evaluate_with_classifier_mesh_matches_single_device():
     assert acc_mesh_fold == acc_single
 
 
+@pytest.mark.slow
 def test_evaluate_with_classifier_mixed_sizes():
     """The --no-resize_imgs eval path hands over a list of different-size
     images (reference inference.py:93-98 evaluates raw sizes); batching

@@ -70,6 +70,7 @@ def test_dp_masks_match_single_device():
     assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
 
 
+@pytest.mark.slow
 def test_dp_trajectory_matches_single_device():
     content, params, vgg_params, targets = _setup()
 

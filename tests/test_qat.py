@@ -120,6 +120,7 @@ def test_qat_conv_data_grad_close_under_random_cotangent():
     assert err < 0.01, err
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layers", ["trunk", "all"])
 def test_transformer_qat_forward_close_and_trainable(layers):
     """QAT forward tracks the bf16 forward (IN re-centers each layer) and
@@ -160,6 +161,7 @@ def test_transformer_qat_forward_close_and_trainable(layers):
     assert float(jnp.max(jnp.abs(grads["output"]["w"]))) > 0
 
 
+@pytest.mark.slow
 def test_qat_train_trajectory_tracks_bf16():
     """Tiny 'cycle' run: QAT trajectory stays finite, decreasing, and close
     to the bf16 trajectory (the objective differs only by int8 rounding of
@@ -212,6 +214,7 @@ def test_qat_train_trajectory_tracks_bf16():
     assert np.all(rel < 0.05), (t_q, t_b, rel)
 
 
+@pytest.mark.slow
 def test_qat_dp_trajectory_matches_single_device():
     """QAT's dynamic activation/gradient scales are GLOBAL reductions under
     GSPMD — the DP-sharded QAT step must reproduce the single-device

@@ -83,6 +83,7 @@ def test_int8_ste_gradient_analytic():
     assert float(jnp.max(jnp.abs(db))) == 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layers", ["deep", "all"])
 def test_quantized_vgg_features_close_to_f32(layers):
     rng = np.random.default_rng(2)
@@ -107,6 +108,7 @@ def test_quantized_vgg_features_close_to_f32(layers):
         assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.slow
 def test_train_quantize_loss_tracks_bf16_trajectory():
     from artist_style_transfer_tpu.train.api import train
 
@@ -131,6 +133,7 @@ def test_train_quantize_loss_tracks_bf16_trajectory():
     assert rel.max() < 0.15, rel
 
 
+@pytest.mark.slow
 def test_quantize_loss_dp_trajectory_matches_single_device():
     """Dynamic per-tensor scales are GLOBAL reductions under GSPMD, so the
     DP-sharded quantized step must reproduce the single-device trajectory."""

@@ -56,6 +56,7 @@ def test_bn_fold_exact():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_int8_logits_close_and_argmax_agrees():
     rng = np.random.default_rng(0)
     params = init_classifier_params(jax.random.key(0))
@@ -69,6 +70,7 @@ def test_int8_logits_close_and_argmax_agrees():
     assert (lr.argmax(-1) == lq.argmax(-1)).all()
 
 
+@pytest.mark.slow
 def test_int8_features_close():
     rng = np.random.default_rng(1)
     params = init_classifier_params(jax.random.key(3))
@@ -122,6 +124,7 @@ def test_frozen_int8_strided_dgrad_exact():
         )
 
 
+@pytest.mark.slow
 def test_classifier_mode_int8_loss_tracks_real_trajectory():
     """'classifier'-mode training with the quantized classifier (int8 fwd +
     STE data gradient through the frozen ResNet-50) must track the
@@ -174,6 +177,7 @@ def test_classifier_mode_int8_loss_tracks_real_trajectory():
     np.testing.assert_allclose(losses_q[:, 1], losses_real[:, 1], rtol=0.05, atol=0.05)
 
 
+@pytest.mark.slow
 def test_classifier_mode_bf16_compute_runs():
     """Regression: classifier-mode training under compute_dtype='bfloat16'
     used to crash (the frozen classifier's weights were never cast to the
@@ -217,6 +221,7 @@ def test_classifier_mode_bf16_compute_runs():
         assert np.all(np.isfinite(np.asarray(losses)))
 
 
+@pytest.mark.slow
 def test_quantized_eval_pipeline_matches_real():
     """evaluate_with_classifier(quantize=True) on a decisive classifier
     (one class's logit boosted far above rounding noise) must produce the

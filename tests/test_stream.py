@@ -224,6 +224,7 @@ def test_streaming_short_epoch_logs_and_counts_actual_batches(tmp_path):
     assert len(epoch_logs) == 2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
 def test_streaming_sharded_over_mesh(compute_dtype):
     """Streamed batches shard over the data mesh and losses stay finite.

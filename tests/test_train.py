@@ -328,6 +328,7 @@ def test_train_preview_images(tmp_path):
     assert (d / "style.jpg").exists()
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path):
     """Resume from the latest checkpoint reproduces uninterrupted training."""
     from artist_style_transfer_tpu.train import train
@@ -362,6 +363,7 @@ def test_train_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_resume_second_run_prefix(tmp_path):
     """Resume picks up a run checkpointed under the bumped 'transfer2_'
     prefix (2nd run in the same dir) instead of silently restarting and

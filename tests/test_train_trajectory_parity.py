@@ -35,6 +35,7 @@ WD = 1e-4
 CW, SW = 17.0, 25.0
 
 
+@pytest.mark.slow
 def test_three_epoch_trajectory_matches_torch():
     import torch
     from tests.torch_ref import TorchTransformerNet, TorchVGG16Features
