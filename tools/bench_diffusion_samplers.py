@@ -4,6 +4,12 @@ Usage: python tools/bench_diffusion_samplers.py [batch] [size] [T]
 Random-weight UNet (no trained artifacts in this container) — the
 numbers measure the samplers' step cost, which is model-eval-bound and
 independent of the weights.
+
+WARNING (round-4, measured): the DDPM leg at batch > 32 becomes a single
+~100 s device execution (T sequential UNet evals in one jit) and crashed
+/restarted the relayed TPU worker — a relay execution-length fault, not
+OOM (AOT temp 0.90 GiB at b128). The DDPM leg is skipped above b32; the
+fast samplers sweep safely (b128 numbers in BENCH_NOTES round-4).
 """
 import sys
 import time
@@ -30,8 +36,14 @@ params = init_diff_model(jax.random.key(0), num_classes=19, base_channels=64)
 diffusion = GaussianDiffusion.make(num_timesteps=T)
 y = jnp.zeros((B,), jnp.int32)
 
-legs = [
-    (f"DDPM T={T}", lambda k: diff_sample(params, diffusion, k, y, shape=(S, S))),
+legs = []
+if B <= 32:  # see WARNING above: longer single executions fault the relay
+    legs.append(
+        (f"DDPM T={T}", lambda k: diff_sample(params, diffusion, k, y, shape=(S, S)))
+    )
+else:
+    print(f"DDPM T={T}   : skipped at b{B} (relay execution-length fault; see docstring)")
+legs += [
     ("DDIM 50", lambda k: diff_sample_ddim(params, diffusion, k, y, shape=(S, S), steps=50)),
     ("DPM++(2M) 20", lambda k: diff_sample_dpmpp(params, diffusion, k, y, shape=(S, S), steps=20)),
     ("DPM++(2M) 12", lambda k: diff_sample_dpmpp(params, diffusion, k, y, shape=(S, S), steps=12)),
