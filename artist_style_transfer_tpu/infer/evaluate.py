@@ -167,10 +167,9 @@ def evaluate_with_classifier(
     # (infer.stylize._fold_broken); other runtime errors propagate.
     # NOTE: ``from ...infer import stylize`` would bind the re-exported
     # *function* (infer/__init__ shadows the submodule attribute).
-    import artist_style_transfer_tpu.infer.stylize
-    import sys
+    import importlib
 
-    _stylize_mod = sys.modules["artist_style_transfer_tpu.infer.stylize"]
+    _stylize_mod = importlib.import_module("artist_style_transfer_tpu.infer.stylize")
 
     fallback = None
     if quantize:

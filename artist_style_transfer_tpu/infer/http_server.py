@@ -125,8 +125,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, {"status": "ok"})
         elif path == "/statsz":
             stats = dict(ctx["server"].stats)
-            with ctx["clf_state"]["lock"]:
-                clf_srv = ctx["clf_state"]["server"]
+            # Lock-free read: the reference assignment is atomic, and taking
+            # clf_state['lock'] here would block monitoring for the entire
+            # classifier cold start (quantize + jit compiles run under it).
+            clf_srv = ctx["clf_state"]["server"]
             if clf_srv is not None:
                 stats["classify"] = dict(clf_srv.stats)
             self._json(200, stats)
@@ -157,6 +159,8 @@ class _Handler(BaseHTTPRequestHandler):
 
         state = ctx["clf_state"]
         with state["lock"]:
+            if state.get("closed"):
+                return self._error(503, "server is shutting down")
             if state["server"] is None:
                 import jax
                 import jax.numpy as jnp
@@ -351,9 +355,14 @@ def make_http_server(
 
 
 def close_classify_server(httpd: ThreadingHTTPServer, timeout: float | None = 10.0) -> None:
-    """Close the lazily-created classify micro-batcher, if it ever started."""
+    """Close the lazily-created classify micro-batcher, if it ever started.
+
+    Also marks the state closed under the lock, so a request thread racing
+    past ``httpd.shutdown()`` cannot create a fresh batcher afterwards (it
+    gets a 503 instead) — no worker thread leaks."""
     state = httpd.RequestHandlerClass.server_ctx["clf_state"]
     with state["lock"]:
+        state["closed"] = True
         srv = state["server"]
     if srv is not None:
         srv.close(timeout)

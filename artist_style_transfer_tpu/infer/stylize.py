@@ -20,7 +20,7 @@ from artist_style_transfer_tpu.models.transformer import transformer_apply
 
 @functools.partial(jax.jit, static_argnames=("clip", "fold_batch"))
 def _stylize_core(
-    params, images_bgr_255: jax.Array, clip: bool = True, fold_batch: bool = True
+    params, images_bgr_255: jax.Array, clip: bool = True, fold_batch: bool = False
 ) -> jax.Array:
     out = transformer_apply(
         params, images_bgr_255.astype(jnp.float32), fold_batch=fold_batch

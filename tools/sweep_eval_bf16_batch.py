@@ -11,9 +11,10 @@ Usage: python tools/sweep_eval_bf16_batch.py [b1 b2 ...]   (default sweep)
 """
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import measure_eval_throughput  # noqa: E402
 

@@ -187,7 +187,10 @@ def check_transfer(path: str, content: np.ndarray, golden_png: str | None = None
     if golden_png is not None:
         import cv2
 
-        ref = cv2.imread(golden_png, cv2.IMREAD_COLOR).astype(np.float64)
+        ref = cv2.imread(golden_png, cv2.IMREAD_COLOR)
+        if ref is None:
+            raise FileNotFoundError(golden_png)
+        ref = ref.astype(np.float64)
         metric = f"stylize PSNR vs committed golden ({os.path.basename(golden_png)})"
     else:
         import torch
