@@ -285,14 +285,34 @@ def save_figure(
     content_bgr: np.ndarray,
     out_bgr: np.ndarray,
     style_bgr: np.ndarray | None = None,
+    show: bool = False,
 ) -> None:
     """2-/3-panel Content/Style/Transformed figure (reference inference.py:126-152).
 
-    Uses the non-interactive Agg backend — figure writing never blocks compute.
+    Default: the non-interactive Agg backend — figure writing never blocks
+    compute (the right behavior on a headless TPU host). ``show=True``
+    additionally opens the reference's blocking interactive window
+    (inference.py:152 ``plt.show()``) when a GUI backend is actually
+    available; on a headless host it degrades to the file write alone.
     """
     import matplotlib
 
-    matplotlib.use("Agg")
+    interactive = False
+    if show:
+        try:  # a GUI needs a display server; don't even try without one
+            import sys
+
+            has_display = bool(os.environ.get("DISPLAY")) or sys.platform in (
+                "darwin",
+                "win32",
+            )
+            if has_display:
+                backend = matplotlib.get_backend().lower()
+                interactive = backend not in ("agg", "pdf", "ps", "svg", "template")
+        except Exception:
+            interactive = False
+    if not interactive:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     panels = 3 if style_bgr is not None else 2
@@ -306,4 +326,6 @@ def save_figure(
         ax.axis("off")
     os.makedirs(os.path.dirname(fig_path) or ".", exist_ok=True)
     fig.savefig(fig_path)
+    if interactive:
+        plt.show()  # blocking, like the reference's display loop
     plt.close(fig)

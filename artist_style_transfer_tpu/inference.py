@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_dir", default=d.model_dir)
     p.add_argument("--no-display", dest="display", action="store_false",
                    help="run quantitative classifier evaluation instead")
+    p.add_argument("--show", action="store_true", default=d.show,
+                   help="also open the reference's blocking interactive "
+                   "figure window (inference.py:152) when a GUI backend is "
+                   "available; headless hosts just get the figure file")
     p.add_argument("--content_img", default=d.content_img)
     p.add_argument("--content_size_w", type=int, default=d.content_size_w)
     p.add_argument("--sharpen", action="store_true", default=d.sharpen)
@@ -90,7 +94,7 @@ def run_display(args, params) -> str:
             style_img = cv2.imread(style_path)
 
     fig_path = os.path.join(args.fig_dir, f"{args.artist}_{args.style_method}.png")
-    save_figure(fig_path, im, out, style_img)
+    save_figure(fig_path, im, out, style_img, show=args.show)
     print(f"wrote {fig_path}")
     return fig_path
 

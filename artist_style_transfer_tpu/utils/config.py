@@ -46,6 +46,9 @@ class InferenceConfig:
     artist: str = "Pablo_Picasso"
     model_filename: str | None = None
     display: bool = True
+    # opt-in blocking interactive window (reference inference.py:152
+    # plt.show()); headless hosts degrade to the figure file alone
+    show: bool = False
     content_img: str = "cuteimages/landscape.jpg"
     content_size_w: int = 1024
     sharpen: bool = False

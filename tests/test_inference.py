@@ -39,6 +39,23 @@ def test_stylize_batched_groups_shapes():
     np.testing.assert_array_equal(outs[0], solo)
 
 
+def test_save_figure_show_headless_degrades_to_file(tmp_path, monkeypatch):
+    """``save_figure(show=True)`` on a headless host (no DISPLAY) must not
+    attempt an interactive backend — it writes the figure file and returns
+    without blocking (reference inference.py:152 parity is opt-in and
+    GUI-gated)."""
+    from artist_style_transfer_tpu.infer.stylize import save_figure
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.setattr("sys.platform", "linux")
+    img = np.zeros((8, 8, 3), np.uint8)
+    path = str(tmp_path / "fig.png")
+    save_figure(path, img, img, show=True)  # must not block or raise
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
 def test_params_npz_roundtrip(tmp_path):
     from artist_style_transfer_tpu.train.checkpoint import load_params_npz, save_params_npz
 
