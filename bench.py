@@ -22,6 +22,22 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".baseline_torch_cpu.js
 SIZE = 512
 
 
+def _min_time(thunk, repeats: int = 5) -> float:
+    """Minimum wall-clock of ``repeats`` calls.
+
+    The relayed TPU backend's RPC latency occasionally spikes by several
+    hundred ms; a single-shot timing of a sub-second device call can be
+    off several-fold (measured: the --train leg read 5114 then 559 img/s
+    back-to-back). The min over a few repeats is the standard robust
+    estimator for 'true cost without stalls'."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def measure_torch_cpu_baseline(repeats: int = 3) -> float:
     """f64 eager PyTorch CPU stylization throughput at 512x512 (reference config)."""
     import numpy as np
@@ -154,13 +170,12 @@ def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
 
     float(chain(x, 1))  # compile + warm both lengths
     float(chain(x, iters))
-    t0 = time.perf_counter()
-    float(chain(x, 1))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(x, iters))
-    dn = time.perf_counter() - t0
-    # Difference removes the constant dispatch/RPC overhead.
+    # Difference removes the constant dispatch/RPC overhead; min-of-repeats
+    # removes the relay's occasional several-hundred-ms RPC spikes (one
+    # spike on a single-shot timing can swing the result several-fold —
+    # measured round 4 on the --train leg: 5114 vs 559 img/s back-to-back).
+    d1 = _min_time(lambda: float(chain(x, 1)))
+    dn = _min_time(lambda: float(chain(x, iters)))
     dt = (dn - d1) / (iters - 1)
     return batch_size / dt
 
@@ -237,18 +252,25 @@ def measure_train_cycle_throughput(
     # Measure sequentially and free each corpus before the next — holding
     # both resident (plus activations) exceeds HBM at larger batches.
     small = build(batch_size)  # 1 step/epoch
-    s_state = run(*small)  # compile + warm
-    t0 = time.perf_counter()
-    run(small[0], *s_state, *small[3:])
-    d1 = time.perf_counter() - t0
+    # epoch_fn donates params/opt_state, so each timed repeat must consume
+    # the previous repeat's returned state. min-of-repeats guards against
+    # the relay's RPC latency spikes (see _min_time).
+    s_state = [run(*small)]  # compile + warm
+
+    def timed_small():
+        s_state[0] = run(small[0], *s_state[0], *small[3:])
+
+    d1 = _min_time(timed_small)
     del small, s_state
 
     n_steps = 6
     big = build(batch_size * n_steps)
-    b_state = run(*big)
-    t0 = time.perf_counter()
-    run(big[0], *b_state, *big[3:])
-    dn = time.perf_counter() - t0
+    b_state = [run(*big)]
+
+    def timed_big():
+        b_state[0] = run(big[0], *b_state[0], *big[3:])
+
+    dn = _min_time(timed_big)
     per_step = (dn - d1) / (n_steps - 1)
     return batch_size / per_step
 
@@ -375,12 +397,8 @@ def measure_eval_throughput(
 
     float(chain(x, 1))
     float(chain(x, iters))
-    t0 = time.perf_counter()
-    float(chain(x, 1))
-    d1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(x, iters))
-    dn = time.perf_counter() - t0
+    d1 = _min_time(lambda: float(chain(x, 1)))  # see _min_time: relay spikes
+    dn = _min_time(lambda: float(chain(x, iters)))
     return batch_size / ((dn - d1) / (iters - 1))
 
 
