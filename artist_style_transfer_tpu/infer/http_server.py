@@ -137,6 +137,47 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._error(404, f"unknown path {path}")
 
+    @staticmethod
+    def _build_classify_server(ctx) -> StylizeServer:
+        """Quantize the classifier and wrap it in its micro-batcher.
+
+        Called OUTSIDE ``clf_state['lock']`` (double-checked init): the
+        first compile can take minutes on a relayed backend, and holding
+        the lock through it would serialize every concurrent classify
+        request behind the cold start (then time them out at
+        ``timeout_s``). Losing racers discard their spare batcher."""
+        import jax
+        import jax.numpy as jnp
+
+        from artist_style_transfer_tpu.models.resnet_q import (
+            classifier_apply_int8,
+            quantize_classifier,
+        )
+        from artist_style_transfer_tpu.ops.image import (
+            bgr_to_rgb,
+            torchvision_normalize,
+        )
+
+        qp = quantize_classifier(ctx["classifier_params"])
+
+        @jax.jit
+        def probs(qp, x_bgr255):
+            rgb01 = bgr_to_rgb(x_bgr255.astype(jnp.float32)) / 255.0
+            logits = classifier_apply_int8(qp, torchvision_normalize(rgb01))
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        # Classification rides the same micro-batcher as stylize
+        # (serve.StylizeServer with a custom apply_fn): every request is a
+        # 256x256 uint8 crop after the eval transform, so ALL concurrent
+        # classify traffic coalesces into single int8-MXU batches instead
+        # of batch-1 dispatches per connection thread.
+        return StylizeServer(
+            params=qp,
+            max_batch=ctx["clf_max_batch"],
+            max_wait_ms=ctx["clf_max_wait_ms"],
+            apply_fn=lambda p, x: np.asarray(probs(p, x)),
+        )
+
     def _classify(self, parsed):
         """POST /v1/classify — artist prediction on the int8 classifier."""
         ctx = self.server_ctx
@@ -158,42 +199,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, "could not decode image body")
 
         state = ctx["clf_state"]
-        with state["lock"]:
-            if state.get("closed"):
+        srv = state["server"]
+        if srv is None:
+            with state["lock"]:
+                if state.get("closed"):
+                    return self._error(503, "server is shutting down")
+            built = self._build_classify_server(ctx)  # slow; NOT under the lock
+            with state["lock"]:
+                if not state.get("closed") and state["server"] is None:
+                    state["server"] = built  # we won the publish race
+                    built = None
+                closed = state.get("closed", False)
+                srv = state["server"]
+            if built is not None:  # lost the race (or closing): discard ours
+                built.close(timeout=0)
+            if closed or srv is None:
                 return self._error(503, "server is shutting down")
-            if state["server"] is None:
-                import jax
-                import jax.numpy as jnp
-
-                from artist_style_transfer_tpu.models.resnet_q import (
-                    classifier_apply_int8,
-                    quantize_classifier,
-                )
-                from artist_style_transfer_tpu.ops.image import (
-                    bgr_to_rgb,
-                    torchvision_normalize,
-                )
-
-                qp = quantize_classifier(ctx["classifier_params"])
-
-                @jax.jit
-                def probs(qp, x_bgr255):
-                    rgb01 = bgr_to_rgb(x_bgr255.astype(jnp.float32)) / 255.0
-                    logits = classifier_apply_int8(qp, torchvision_normalize(rgb01))
-                    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-
-                # Classification rides the same micro-batcher as stylize
-                # (serve.StylizeServer with a custom apply_fn): every
-                # request is a 256x256 uint8 crop after the eval transform,
-                # so ALL concurrent classify traffic coalesces into single
-                # int8-MXU batches instead of batch-1 dispatches per
-                # connection thread.
-                state["server"] = StylizeServer(
-                    params=qp,
-                    max_batch=ctx["clf_max_batch"],
-                    max_wait_ms=ctx["clf_max_wait_ms"],
-                    apply_fn=lambda p, x: np.asarray(probs(p, x)),
-                )
         # Eval transform generalized to arbitrary sizes: shorter side to
         # 256, center crop 256 (reference CenterCrop(256), inference.py:56-59).
         h, w = img.shape[:2]
@@ -204,7 +225,14 @@ class _Handler(BaseHTTPRequestHandler):
         y0, x0 = (h - 256) // 2, (w - 256) // 2
         crop = np.ascontiguousarray(img[y0 : y0 + 256, x0 : x0 + 256], np.uint8)
         try:
-            p = state["server"].submit(crop).result(timeout=ctx["timeout_s"])
+            fut = srv.submit(crop)
+        except RuntimeError:
+            # submit() raises RuntimeError iff the batcher is closed — a
+            # request racing close_classify_server() past the gate above
+            # lands here; that is a shutdown condition, not a server error.
+            return self._error(503, "server is shutting down")
+        try:
+            p = fut.result(timeout=ctx["timeout_s"])
         except Exception as e:
             return self._error(500, f"classify failed: {type(e).__name__}: {e}")
         from artist_style_transfer_tpu.models.resnet import ARTISTS_19

@@ -187,6 +187,99 @@ def test_classify_endpoint():
         close_classify_server(httpd)
 
 
+def _fake_probs(p, x):
+    out = np.zeros((x.shape[0], 19), np.float32)
+    out[:, 5] = 1.0
+    return out
+
+
+@pytest.fixture
+def classify_httpd(monkeypatch):
+    """A live server whose classify build is replaced by a monkeypatched
+    fake (optionally slowed via the returned dict) — isolates the
+    cold-start locking behavior from the real quantize+compile cost."""
+    from artist_style_transfer_tpu.infer import http_server as hs
+
+    cfg = {"delay_s": 0.0, "builds": 0}
+
+    def fake_build(ctx):
+        import time
+
+        if cfg["delay_s"]:
+            time.sleep(cfg["delay_s"])
+        cfg["builds"] += 1
+        return StylizeServer(
+            params={"fake": True}, max_batch=4, max_wait_ms=2.0, apply_fn=_fake_probs
+        )
+
+    monkeypatch.setattr(hs._Handler, "_build_classify_server", staticmethod(fake_build))
+    registry = ModelRegistry()
+    registry.register("a", params=init_transformer_params(jax.random.key(0)))
+    server = StylizeServer(registry=registry, max_batch=2, max_wait_ms=2.0)
+    httpd = make_http_server(
+        registry, server, host="127.0.0.1", port=0, classifier_params={"dummy": True}
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_port}", httpd, cfg
+    finally:
+        httpd.shutdown()
+        server.close()
+        from artist_style_transfer_tpu.infer.http_server import close_classify_server
+
+        close_classify_server(httpd)
+
+
+def test_classify_cold_start_not_serialized(classify_httpd):
+    """Two concurrent FIRST classify requests must not serialize behind the
+    cold-start build (the real quantize+compile takes minutes on a relayed
+    backend): the build runs OUTSIDE clf_state['lock'] with a
+    double-checked publish, so the artificially slowed builds overlap."""
+    import time
+
+    base, httpd, cfg = classify_httpd
+    DELAY = cfg["delay_s"] = 1.0
+    body = cv2.imencode(".png", np.zeros((256, 256, 3), np.uint8))[1].tobytes()
+    results = [None, None]
+
+    def fire(i):
+        results[i] = _post(base + "/v1/classify", data=body)
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.monotonic() - t0
+    assert all(r[0] == 200 for r in results)
+    assert all(json.loads(r[2])["index"] == 5 for r in results)
+    # Overlapped, not serialized: a lock-held build would take >= 2*DELAY.
+    assert elapsed < 2 * DELAY - 0.3, f"cold starts serialized: {elapsed:.2f}s"
+    # One batcher published; a losing racer built a spare and discarded it.
+    state = httpd.RequestHandlerClass.server_ctx["clf_state"]
+    assert state["server"] is not None and 1 <= cfg["builds"] <= 2
+
+
+def test_classify_closed_batcher_maps_503(classify_httpd):
+    """A request racing close_classify_server() past the closed-gate calls
+    submit() on a closed batcher — that must surface as 503 (shutdown),
+    not a 500 'RuntimeError: server is closed' (round-4 advisor)."""
+    base, httpd, _ = classify_httpd
+    body = cv2.imencode(".png", np.zeros((256, 256, 3), np.uint8))[1].tobytes()
+    status, _, _ = _post(base + "/v1/classify", data=body)
+    assert status == 200
+    # Simulate the race window: the batcher closes but 'closed' is not yet
+    # observed by the request thread's gate.
+    httpd.RequestHandlerClass.server_ctx["clf_state"]["server"].close()
+    try:
+        status2, _, _ = _post(base + "/v1/classify", data=body)
+    except urllib.error.HTTPError as e:
+        status2 = e.code
+    assert status2 == 503
+
+
 def test_classify_unconfigured_503(served):
     base, _, _ = served
     body = cv2.imencode(".png", np.zeros((256, 256, 3), np.uint8))[1].tobytes()
