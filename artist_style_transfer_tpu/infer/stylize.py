@@ -44,23 +44,23 @@ def _stylize_core(
 # silently demote the process).
 _fold_broken = False
 
-# Substrings identifying the known folded-compile crash in the
+# Signatures identifying the known folded-compile crash in the
 # JaxRuntimeError the relay surfaces when the compile helper SIGABRTs.
 # Probed on-chip (round 4): the surfaced message is
 # "INTERNAL: http://.../remote_compile: HTTP 500: tpu_compile_helper
 #  subprocess exit signal SIGABRT (6)" — the fusion_emitter check text
-# stays helper-side; match the helper-death line (any signal) plus the
-# check text in case a future toolchain surfaces it directly.
-_FOLD_CRASH_SIGNATURES = (
-    "tpu_compile_helper subprocess exit signal",
-    "fusion_emitter",
-    "window.window_bounds",
-)
+# stays helper-side. Primary match: the helper-death line (any signal).
+# Secondary match (a future toolchain surfacing the check directly):
+# BOTH fusion_emitter tokens together — conjunctive, so an unrelated
+# compiler error that merely mentions one of them propagates instead of
+# silently demoting the process.
+_FOLD_CRASH_PRIMARY = "tpu_compile_helper subprocess exit signal"
+_FOLD_CRASH_SECONDARY = ("fusion_emitter", "window.window_bounds")
 
 
 def _is_fold_compile_crash(e: BaseException) -> bool:
     msg = str(e)
-    return any(s in msg for s in _FOLD_CRASH_SIGNATURES)
+    return _FOLD_CRASH_PRIMARY in msg or all(s in msg for s in _FOLD_CRASH_SECONDARY)
 
 
 def stylize(
@@ -88,6 +88,14 @@ def stylize(
             if not _is_fold_compile_crash(e):
                 raise
             _fold_broken = True
+            # Make the process-wide demotion visible: every later
+            # fold_batch=True call silently takes the direct path.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "folded-compile crash signature matched (%s); latching the "
+                "direct stylize path for this process", e,
+            )
     return _stylize_core(params, images_bgr_255, clip, False)
 
 
@@ -326,6 +334,17 @@ def save_figure(
         ax.axis("off")
     os.makedirs(os.path.dirname(fig_path) or ".", exist_ok=True)
     fig.savefig(fig_path)
-    if interactive:
-        plt.show()  # blocking, like the reference's display loop
-    plt.close(fig)
+    try:
+        if interactive:
+            try:
+                plt.show()  # blocking, like the reference's display loop
+            except Exception as e:
+                # A non-empty but stale/invalid DISPLAY (common over ssh)
+                # passes the gate above and fails here; the figure file is
+                # already written, so degrade to a warning instead of
+                # failing the CLI.
+                import warnings
+
+                warnings.warn(f"interactive show failed ({e}); figure saved to {fig_path}")
+    finally:
+        plt.close(fig)

@@ -56,6 +56,33 @@ def test_save_figure_show_headless_degrades_to_file(tmp_path, monkeypatch):
     assert os.path.getsize(path) > 0
 
 
+def test_save_figure_show_failure_degrades_to_warning(tmp_path, monkeypatch):
+    """A stale/invalid DISPLAY passes the gate but makes ``plt.show()``
+    raise; the figure file is already written, so the CLI must get a
+    warning, not the exception — and the figure must still be closed
+    (round-4 advisor)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    from artist_style_transfer_tpu.infer.stylize import save_figure
+
+    monkeypatch.setenv("DISPLAY", ":99")  # non-empty but invalid
+    monkeypatch.setattr(matplotlib, "get_backend", lambda: "qtagg")
+
+    def boom():
+        raise RuntimeError("could not connect to display :99")
+
+    monkeypatch.setattr(plt, "show", boom)
+    img = np.zeros((8, 8, 3), np.uint8)
+    path = str(tmp_path / "fig.png")
+    with pytest.warns(UserWarning, match="interactive show failed"):
+        save_figure(path, img, img, show=True)
+    import os
+
+    assert os.path.getsize(path) > 0
+    assert plt.get_fignums() == []  # the figure was closed despite the failure
+
+
 def test_params_npz_roundtrip(tmp_path):
     from artist_style_transfer_tpu.train.checkpoint import load_params_npz, save_params_npz
 
@@ -148,6 +175,40 @@ def test_stylize_non_compile_runtime_error_propagates(monkeypatch):
     monkeypatch.setattr(S, "_stylize_core", fake)
     monkeypatch.setattr(S, "_fold_broken", False)
     with pytest.raises(jax.errors.JaxRuntimeError, match="RESOURCE_EXHAUSTED"):
+        S.stylize(params, x, fold_batch=True)
+    assert not S._fold_broken
+
+
+def test_single_fold_token_error_propagates(monkeypatch):
+    """An unrelated compiler error mentioning only ONE of the
+    fusion_emitter tokens must propagate without latching (round-4
+    advisor: the secondary signature match is conjunctive); the
+    helper-death line alone or BOTH tokens together still latch."""
+    S = _stylize_module()
+    err = jax.errors.JaxRuntimeError
+    assert not S._is_fold_compile_crash(
+        err("INTERNAL: unrelated pass failed in fusion_emitter.cc:123: tile size")
+    )
+    assert not S._is_fold_compile_crash(
+        err("INVALID_ARGUMENT: bad window.window_bounds configuration")
+    )
+    assert S._is_fold_compile_crash(err(_CRASH_MSG))
+    assert S._is_fold_compile_crash(
+        err(
+            "INTERNAL: fusion_emitter.cc:4273 Check failed: "
+            "window.window_bounds[i] == window.strides[i] (2 vs. 12)"
+        )
+    )
+
+    params = init_transformer_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)) * 255, jnp.float32)
+
+    def fake(params, images, clip=True, fold_batch=True):
+        raise err("INTERNAL: some future error that mentions fusion_emitter only")
+
+    monkeypatch.setattr(S, "_stylize_core", fake)
+    monkeypatch.setattr(S, "_fold_broken", False)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="future error"):
         S.stylize(params, x, fold_batch=True)
     assert not S._fold_broken
 
