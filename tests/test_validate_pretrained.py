@@ -84,3 +84,40 @@ def test_vgg_and_classifier_checks_on_fixtures(tmp_path, content):
     rc = vp.check_classifier(clf_path, content)
     assert rv["pass"], rv
     assert rc["pass"] and rc["argmax_agree"] and rc["n_classes"] == 19, rc
+
+
+def test_classifier_check_tolerates_extra_keys(tmp_path, content):
+    """A real fastai best-2.pth may carry extra bookkeeping keys beyond the
+    model weights; the oracle load takes exactly its own keys, so the check
+    still PASSES (round-4 advisor: a strict full-dict load crashed)."""
+    import torch
+
+    _, clf_path = vp._write_selftest_fixtures(str(tmp_path))
+    from artist_style_transfer_tpu.utils.torch_import import load_torch_state_dict
+
+    sd = {
+        k: torch.from_numpy(np.asarray(v))
+        for k, v in load_torch_state_dict(clf_path).items()
+    }
+    sd["some_fastai_extra.tracker_state"] = torch.zeros(3)
+    extra_path = str(tmp_path / "best-2-extra.pth")
+    torch.save({"model": sd, "opt": {}}, extra_path)
+    r = vp.check_classifier(extra_path, content)
+    assert r["pass"], r
+
+
+def test_malformed_artifact_reports_fail_not_crash(tmp_path, content):
+    """A malformed artifact (missing keys / not a state dict) must produce a
+    pass=False report entry via _run_check, not crash the harness."""
+    import torch
+
+    bad_path = str(tmp_path / "bad.pth")
+    torch.save({"model": {"not_a_real_key": torch.zeros(2)}, "opt": {}}, bad_path)
+    r = vp._run_check(vp.check_classifier, bad_path, content)
+    assert r["check"] == "classifier" and not r["pass"] and "error" in r, r
+
+    truncated = str(tmp_path / "trunc.pth")
+    with open(truncated, "wb") as f:
+        f.write(b"PK\x03\x04 not really a zip")
+    r2 = vp._run_check(vp.check_vgg, truncated, content)
+    assert not r2["pass"] and "error" in r2, r2

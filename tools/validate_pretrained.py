@@ -142,7 +142,13 @@ def check_classifier(path: str, content: np.ndarray) -> dict:
     n_classes = int(np.asarray(params["head"]["fc2"]["b"]).shape[0])
 
     oracle = make_torch_classifier(n_classes)
-    oracle.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()})
+    # Load exactly the oracle's own keys (as check_vgg does): a real fastai
+    # best-2.pth may carry extra bookkeeping keys that a strict full-dict
+    # load would reject; a key the oracle needs but sd lacks raises KeyError,
+    # which the per-check harness turns into a FAIL entry.
+    oracle.load_state_dict(
+        {k: torch.from_numpy(np.asarray(sd[k])) for k in oracle.state_dict()}
+    )
     oracle = oracle.double().eval()
 
     # The eval-pipeline transform (reference inference.py:154): crop 256,
@@ -224,6 +230,27 @@ def check_transfer(path: str, content: np.ndarray, golden_png: str | None = None
     }
 
 
+def _run_check(fn, path: str, *args, **kwargs) -> dict:
+    """Run one check; any exception becomes a pass=False report entry.
+
+    A malformed real artifact (unexpected keys, truncated file, wrong
+    shapes) must produce a FAIL line in the report, not crash the harness
+    mid-way — the other artifacts' checks still run.
+    """
+    try:
+        return fn(path, *args, **kwargs)
+    except Exception as e:
+        return {
+            "check": fn.__name__.removeprefix("check_"),
+            "path": path,
+            "metric": "check raised",
+            "value": float("nan"),
+            "threshold": float("nan"),
+            "error": f"{type(e).__name__}: {e}",
+            "pass": False,
+        }
+
+
 def _write_selftest_fixtures(d: str) -> tuple[str, str]:
     """Random-weight artifacts in the exact reference formats (the verify
     workspace fixture): torchvision-keyed VGG dict, fastai-wrapped
@@ -276,12 +303,15 @@ def main(argv=None) -> int:
     if args.selftest:
         with tempfile.TemporaryDirectory() as d:
             vgg_path, clf_path = _write_selftest_fixtures(d)
-            results.append(check_vgg(vgg_path, content))
-            results.append(check_classifier(clf_path, content))
+            results.append(_run_check(check_vgg, vgg_path, content))
+            results.append(_run_check(check_classifier, clf_path, content))
         golden = os.path.join(REPO, "tests", "goldens")
-        results.append(check_transfer(os.path.join(golden, "golden_transfer.pth"), content))
         results.append(
-            check_transfer(
+            _run_check(check_transfer, os.path.join(golden, "golden_transfer.pth"), content)
+        )
+        results.append(
+            _run_check(
+                check_transfer,
                 os.path.join(golden, "golden_transfer.pth"),
                 _load_content(None),
                 golden_png=os.path.join(golden, "golden_stylized.png"),
@@ -291,17 +321,21 @@ def main(argv=None) -> int:
         if not (args.vgg or args.classifier or args.transfer):
             ap.error("provide --vgg/--classifier/--transfer (or --selftest)")
         if args.vgg:
-            results.append(check_vgg(args.vgg, content))
+            results.append(_run_check(check_vgg, args.vgg, content))
         if args.classifier:
-            results.append(check_classifier(args.classifier, content))
+            results.append(_run_check(check_classifier, args.classifier, content))
         if args.transfer:
-            results.append(check_transfer(args.transfer, content))
+            results.append(_run_check(check_transfer, args.transfer, content))
 
     ok = all(r["pass"] for r in results)
     for r in results:
         status = "PASS" if r["pass"] else "FAIL"
-        print(f"[{status}] {r['check']}: {r['metric']} = {r['value']:.6g} "
-              f"(threshold {r['threshold']:g}) — {r['path']}")
+        detail = (
+            r["error"]
+            if "error" in r
+            else f"{r['metric']} = {r['value']:.6g} (threshold {r['threshold']:g})"
+        )
+        print(f"[{status}] {r['check']}: {detail} — {r['path']}")
     print(f"validate_pretrained: {'PASS' if ok else 'FAIL'} "
           f"({sum(r['pass'] for r in results)}/{len(results)} checks)")
     if args.report:
