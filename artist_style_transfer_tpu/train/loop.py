@@ -77,6 +77,84 @@ def make_optimizer(
     )
 
 
+# mesh -> measured max relative wgrad error of the minimal spatial repro
+# (see spatial_wgrad_selfcheck); each mesh is probed once per process.
+_SPATIAL_WGRAD_CACHE: dict = {}
+
+# Reduction-order noise between the sharded and replicated gradients is
+# ~1e-6 relative; the diagnosed miscompile is ~2-3 relative. Anything in
+# between would be a new bug — refuse it too.
+_SPATIAL_WGRAD_TOL = 0.05
+
+
+def spatial_wgrad_selfcheck(mesh) -> float:
+    """Max relative weight-gradient error of the minimal spatial-sharding repro.
+
+    The ROADMAP repro of the round-2 XLA:CPU GSPMD bug: ``grad of
+    mean(conv2d(x, w)**2)`` (k=3 SAME, NHWC) with x's H axis sharded over
+    the mesh's 'space' axis, compared against the replicated gradient.
+    Forward and data gradient are exact everywhere; on the buggy CPU
+    backend the WEIGHT gradient comes back ~3x wrong. Returns ~0 on a
+    correct backend. Cheap (a 4-channel 3x3 conv), run once per mesh.
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from artist_style_transfer_tpu.parallel.mesh import spatial_size as _ssize
+
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((1, 8 * _ssize(mesh), 8, 4)).astype(np.float32)
+    w_np = rng.standard_normal((3, 3, 4, 4)).astype(np.float32)
+
+    def loss(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.mean(y * y)
+
+    grad = jax.jit(jax.grad(loss, argnums=1))
+    dw_ref = np.asarray(grad(jnp.asarray(x_np), jnp.asarray(w_np)))
+    x_sh = jax.device_put(jnp.asarray(x_np), NamedSharding(mesh, P(None, "space")))
+    w_rep = jax.device_put(jnp.asarray(w_np), NamedSharding(mesh, P()))
+    dw_sh = np.asarray(grad(x_sh, w_rep))
+    return float(np.max(np.abs(dw_sh - dw_ref)) / (np.max(np.abs(dw_ref)) + 1e-12))
+
+
+def _require_spatial_training(mesh) -> None:
+    """Refuse 'space'>1 training meshes whose backend miscompiles the wgrad.
+
+    CPU backends are refused outright (the diagnosed XLA:CPU GSPMD
+    miscompile — dw off ~3x for k>1 convs with H sharded; forward, dgrad,
+    k=1 all exact). Other backends (real multi-chip TPU, where spatial
+    partitioning is mature) run :func:`spatial_wgrad_selfcheck` once and
+    are enabled iff the repro's gradients match — no source edit needed on
+    correct hardware, and a regressed toolchain still refuses rather than
+    training with silently wrong gradients.
+    """
+    platform = mesh.devices.flat[0].platform
+    if platform == "cpu":
+        raise NotImplementedError(
+            "training over a mesh with a 'space'>1 axis is not supported on "
+            "the CPU backend: XLA:CPU GSPMD miscompiles halo'd conv weight "
+            "gradients (diagnosed round 2; spatial_wgrad_selfcheck "
+            "reproduces it). Use a pure 'data' mesh; spatial sharding is "
+            "inference-only here (infer.stylize_spatial)."
+        )
+    err = _SPATIAL_WGRAD_CACHE.get(mesh)
+    if err is None:
+        err = spatial_wgrad_selfcheck(mesh)
+        _SPATIAL_WGRAD_CACHE[mesh] = err
+    if err > _SPATIAL_WGRAD_TOL:
+        raise NotImplementedError(
+            f"training over a 'space'>1 mesh is disabled on this backend "
+            f"({platform}): the spatial wgrad self-check measured "
+            f"{err:.3g} relative error (tolerance {_SPATIAL_WGRAD_TOL}) — "
+            "the halo'd conv weight-gradient miscompile is present; "
+            "refusing to train with silently wrong gradients."
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class StepFns:
     """Compiled train-epoch and preview functions for one configuration."""
@@ -143,19 +221,10 @@ def make_step_fns(
             f"content_data_size={num_content} < batch_size={batch_size}"
         )
     if spatial_size(mesh) > 1:
-        # Diagnosed in round 2 on the virtual CPU mesh: GSPMD's weight
-        # gradient for k>1 convs whose spatial dim is sharded ('space'
-        # axis) miscompiles on the CPU backend (dw off by ~3x; forward and
-        # dgrad exact; k=1 and unsharded-H exact) — so spatially-sharded
-        # TRAINING cannot be validated in this environment and is refused
-        # rather than shipped with silently wrong gradients. Spatial
-        # sharding is supported for inference (infer.stylize_spatial,
-        # forward-only, validated exact).
-        raise NotImplementedError(
-            "training over a mesh with a 'space'>1 axis is not supported: "
-            "XLA:CPU GSPMD miscompiles halo'd conv weight gradients; use a "
-            "pure 'data' mesh (spatial sharding is inference-only)"
-        )
+        # Refuse CPU (diagnosed XLA:CPU GSPMD wgrad miscompile, round 2);
+        # self-check other backends once per mesh and enable iff the
+        # minimal repro's gradients match (see _require_spatial_training).
+        _require_spatial_training(mesh)
     just_content = mode == "classifier"
     cdtype = jnp.dtype(compute_dtype)
     # Batch->H folding of the shallow VGG + transformer layers (see

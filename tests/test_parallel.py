@@ -163,19 +163,39 @@ def test_stylize_spatial_int8_matches_single_device():
 
 
 def test_spatial_mesh_training_rejected():
-    """Spatial ('space'>1) meshes are inference-only: XLA:CPU GSPMD
+    """Spatial ('space'>1) meshes are inference-only ON CPU: XLA:CPU GSPMD
     miscompiles halo'd conv WEIGHT gradients when the H dim is sharded
-    (dw off ~3x; forward and dgrad exact — diagnosed round 2), so
-    make_step_fns refuses rather than training with wrong gradients."""
+    (dw off ~3x; forward and dgrad exact — diagnosed round 2). The guard
+    is keyed to the backend: CPU meshes are refused outright with the
+    diagnosis; other backends run spatial_wgrad_selfcheck once and enable
+    training iff the repro's gradients match (no source edit needed on
+    real multi-chip TPU hardware)."""
     content, params, vgg_params, targets = _setup()
     mesh = make_mesh(shape=(4, 2), axis_names=("data", "space"))
     tx = make_optimizer(1e-3, 1e-4, 4, 2, N // B)
-    with pytest.raises(NotImplementedError, match="space"):
+    with pytest.raises(NotImplementedError, match="CPU backend"):
         make_step_fns(
             "cycle", vgg_params, None, targets,
             content_weight=17.0, style_weight=25.0, batch_size=B,
             num_content=N, tx=tx, mesh=mesh, use_pallas=False,
         )
+
+
+def test_spatial_wgrad_selfcheck_detects_the_miscompile():
+    """The minimal repro the TPU-side gate runs must actually DETECT the
+    diagnosed bug: on this CPU mesh the sharded weight gradient comes back
+    ~3x wrong, far above the gate's tolerance. (If a future jax release
+    fixes XLA:CPU GSPMD, this test and the CPU refusal should both be
+    revisited together.)"""
+    from artist_style_transfer_tpu.train.loop import (
+        _SPATIAL_WGRAD_TOL,
+        spatial_wgrad_selfcheck,
+    )
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("data", "space"))
+    err = spatial_wgrad_selfcheck(mesh)
+    assert err > _SPATIAL_WGRAD_TOL, err  # the gate would refuse this backend
+    assert 2.0 < err < 4.0, err  # the diagnosed ~3x signature
 
 
 def test_spatial_mesh_forward_loss_matches():
