@@ -1,14 +1,22 @@
 """Benchmark: stylized 512x512 images/sec/chip (BASELINE.json headline metric).
 
-Prints ONE JSON line:
+The FINAL printed line is the headline JSON (the driver parses the last
+line):
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
-``vs_baseline`` compares against the PyTorch-CPU reference throughput
-(float64 eager TransformerNet at 512x512, batch 1 — the reference's
-configuration per train_cnn.py:25-44/inference.py:108-116). The baseline is
-measured once on this machine with the torch oracle from tests/torch_ref.py
-and cached in .baseline_torch_cpu.json, since the reference publishes no
-numbers (BASELINE.md).
+The default run additionally prints the train ('cycle' int8-loss b128, vs
+the 1,000 img/s target) and eval (int8 pipeline, vs the torch-CPU eval
+loop) headline metrics as their own JSON lines BEFORE it — driver-captured
+evidence for all three numbers (``--headline-only`` suppresses them;
+``--train`` / ``--eval [--quantize]`` run a single metric as before).
+
+``vs_baseline`` on the stylize line compares against the PyTorch-CPU
+reference throughput (float64 eager TransformerNet at 512x512, batch 1 —
+the reference's configuration per train_cnn.py:25-44/inference.py:108-116),
+measured once under a PINNED protocol (explicit thread count, min-of-N)
+with the torch oracle from tests/torch_ref.py and committed in
+.baseline_torch_cpu.json, since the reference publishes no numbers
+(BASELINE.md).
 """
 
 from __future__ import annotations
@@ -38,14 +46,24 @@ def _min_time(thunk, repeats: int = 5) -> float:
     return best
 
 
-def measure_torch_cpu_baseline(repeats: int = 3) -> float:
-    """f64 eager PyTorch CPU stylization throughput at 512x512 (reference config)."""
+def measure_torch_cpu_baseline(repeats: int = 3, threads: int | None = None) -> dict:
+    """f64 eager PyTorch CPU stylization throughput at 512x512 (reference config).
+
+    PINNED measurement (round 5 — the round-1..4 baselines drifted 3.4x,
+    0.0182..0.0622 img/s, because the single-shot timing of a ~1-minute f64
+    eager forward ran with unpinned threads on a contended 1-core box):
+    the torch thread count is set explicitly, the timing is the MIN over
+    ``repeats`` calls (throughput of the least-stalled run), and the full
+    measurement config is returned so the cache file documents itself.
+    """
     import numpy as np
     import torch
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from torch_ref import TorchTransformerNet
 
+    threads = threads if threads is not None else (os.cpu_count() or 1)
+    torch.set_num_threads(threads)
     torch.manual_seed(0)
     net = TorchTransformerNet().double().eval()
     x = torch.from_numpy(
@@ -53,24 +71,42 @@ def measure_torch_cpu_baseline(repeats: int = 3) -> float:
     ).double()
     with torch.no_grad():
         net(x)  # warm
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(repeats):
+            t0 = time.perf_counter()
             net(x)
-        dt = (time.perf_counter() - t0) / repeats
-    return 1.0 / dt
+            best = min(best, time.perf_counter() - t0)
+    return {
+        "images_per_sec": 1.0 / best,
+        "config": f"torch-cpu f64 {SIZE}x{SIZE} b1",
+        "threads": threads,
+        "repeats": repeats,
+        "timing": "min over repeats of a single forward",
+        "torch": torch.__version__,
+        "measured": time.strftime("%Y-%m-%d"),
+    }
 
 
 def get_baseline() -> float:
+    """Pinned torch-CPU baseline (cached in .baseline_torch_cpu.json).
+
+    The cache file is committed so every driver round divides by the SAME
+    measured denominator; it self-documents the measurement config. A
+    legacy cache without the config fields (the source of the round-1..4
+    3.4x drift) is re-measured once under the pinned protocol.
+    """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["images_per_sec"]
-    ips = measure_torch_cpu_baseline()
+            cached = json.load(f)
+        if "threads" in cached:  # pinned-protocol cache
+            return cached["images_per_sec"]
+    rec = measure_torch_cpu_baseline()
     try:
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"images_per_sec": ips, "config": "torch-cpu f64 512x512 b1"}, f)
+            json.dump(rec, f, indent=1)
     except OSError:
         pass
-    return ips
+    return rec["images_per_sec"]
 
 
 def measure_tpu_throughput(batch_size: int = 128, iters: int = 10) -> float:
@@ -280,13 +316,17 @@ EVAL_BASELINE_CACHE = os.path.join(
 )
 
 
-def measure_torch_cpu_eval_baseline(size: int = 288, repeats: int = 2) -> float:
+def measure_torch_cpu_eval_baseline(
+    size: int = 288, repeats: int = 3, threads: int | None = None
+) -> dict:
     """f64 eager torch-CPU eval-loop throughput: stylize -> crop -> classify.
 
     Mirrors the reference's image-by-image quantitative eval
     (inference.py:104-166: batch 1, float64, full host round trip per
     image) at the same image size bench's jitted eval uses, with the
     tests/torch_ref oracles standing in for the missing pretrained nets.
+    Pinned protocol (threads set explicitly, min-of-repeats, config
+    recorded) — see measure_torch_cpu_baseline.
     """
     import numpy as np
     import torch
@@ -294,6 +334,8 @@ def measure_torch_cpu_eval_baseline(size: int = 288, repeats: int = 2) -> float:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from torch_ref import TorchTransformerNet, make_torch_classifier
 
+    threads = threads if threads is not None else (os.cpu_count() or 1)
+    torch.set_num_threads(threads)
     torch.manual_seed(0)
     net = TorchTransformerNet().double().eval()
     clf = make_torch_classifier(19).double().eval()
@@ -312,25 +354,36 @@ def measure_torch_cpu_eval_baseline(size: int = 288, repeats: int = 2) -> float:
             return torch.argmax(clf((out - mean) / std), dim=1)
 
     one()  # warm
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(repeats):
+        t0 = time.perf_counter()
         one()
-    return 1.0 / ((time.perf_counter() - t0) / repeats)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "images_per_sec": 1.0 / best,
+        "config": f"torch-cpu f64 {size}->crop256 b1",
+        "threads": threads,
+        "repeats": repeats,
+        "timing": "min over repeats of a single stylize->crop->classify pass",
+        "torch": torch.__version__,
+        "measured": time.strftime("%Y-%m-%d"),
+    }
 
 
 def get_eval_baseline() -> float:
+    """Pinned torch-CPU eval baseline (committed cache; see get_baseline)."""
     if os.path.exists(EVAL_BASELINE_CACHE):
         with open(EVAL_BASELINE_CACHE) as f:
-            return json.load(f)["images_per_sec"]
-    ips = measure_torch_cpu_eval_baseline()
+            cached = json.load(f)
+        if "threads" in cached:  # pinned-protocol cache
+            return cached["images_per_sec"]
+    rec = measure_torch_cpu_eval_baseline()
     try:
         with open(EVAL_BASELINE_CACHE, "w") as f:
-            json.dump(
-                {"images_per_sec": ips, "config": "torch-cpu f64 288->crop256 b1"}, f
-            )
+            json.dump(rec, f, indent=1)
     except OSError:
         pass
-    return ips
+    return rec["images_per_sec"]
 
 
 def measure_eval_throughput(
@@ -402,6 +455,35 @@ def measure_eval_throughput(
     return batch_size / ((dn - d1) / (iters - 1))
 
 
+def _eval_record(quantize: bool, config: str | None = None) -> dict:
+    eval_baseline = get_eval_baseline()
+    value = measure_eval_throughput(quantize=quantize)
+    rec = {
+        "metric": "classifier_eval_288_images_per_sec",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        # vs the measured torch-CPU f64 image-by-image eval loop
+        # (the reference's configuration, inference.py:104-166)
+        "vs_baseline": round(value / eval_baseline, 2),
+    }
+    if config is not None:
+        rec["config"] = config
+    return rec
+
+
+def _train_record(quantize_loss=False, qat=False, config: str | None = None) -> dict:
+    value = measure_train_cycle_throughput(quantize_loss=quantize_loss, qat=qat)
+    rec = {
+        "metric": "train_cycle_224_images_per_sec",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(value / 1000.0, 2),  # vs the 1k img/s target
+    }
+    if config is not None:
+        rec["config"] = config
+    return rec
+
+
 def main() -> None:
     import sys
 
@@ -410,20 +492,7 @@ def main() -> None:
     enable_compilation_cache()
 
     if "--eval" in sys.argv:
-        eval_baseline = get_eval_baseline()
-        value = measure_eval_throughput(quantize="--quantize" in sys.argv)
-        print(
-            json.dumps(
-                {
-                    "metric": "classifier_eval_288_images_per_sec",
-                    "value": round(value, 2),
-                    "unit": "images/sec",
-                    # vs the measured torch-CPU f64 image-by-image eval loop
-                    # (the reference's configuration, inference.py:104-166)
-                    "vs_baseline": round(value / eval_baseline, 2),
-                }
-            )
-        )
+        print(json.dumps(_eval_record(quantize="--quantize" in sys.argv)))
         return
     if "--train" in sys.argv:
         # "auto" resolves to the direct (unfolded) path — the batch->H fold
@@ -441,18 +510,37 @@ def main() -> None:
             i = sys.argv.index("--qat")
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
             qat = nxt if nxt in ("trunk", "all") else True
-        value = measure_train_cycle_throughput(quantize_loss=ql, qat=qat)
-        print(
-            json.dumps(
-                {
-                    "metric": "train_cycle_224_images_per_sec",
-                    "value": round(value, 2),
-                    "unit": "images/sec",
-                    "vs_baseline": round(value / 1000.0, 2),  # vs the 1k img/s target
-                }
-            )
-        )
+        print(json.dumps(_train_record(quantize_loss=ql, qat=qat)))
         return
+
+    # Default (the driver's end-of-round run): ALL THREE headline metrics.
+    # The train and eval lines print FIRST — the driver parses the FINAL
+    # line as the headline and records the earlier ones as captured tail
+    # evidence (VERDICT r4 #2: the unmet 1k train target and the eval
+    # numbers were previously builder-recorded only). Each extra leg is
+    # fail-soft: the stylize headline must always print, even if a
+    # toolchain change breaks a train/eval compile.
+    if "--headline-only" not in sys.argv:
+        extras = (
+            # the dispatched train fast path (int8 frozen-VGG loss, b128) —
+            # the number measured against the 1,000 img/s single-chip target
+            lambda: _train_record(quantize_loss="deep", config="int8-loss deep b128/224"),
+            # the dispatched eval fast path (int8 stylizer + int8 ResNet-50)
+            lambda: _eval_record(quantize=True, config="int8 b128/288"),
+        )
+        for thunk in extras:
+            try:
+                print(json.dumps(thunk()), flush=True)
+            except Exception as e:  # fail-soft: never block the headline
+                print(
+                    json.dumps(
+                        {
+                            "metric": "bench_extra_leg_failed",
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    ),
+                    flush=True,
+                )
     baseline = get_baseline()
     value = measure_tpu_throughput()
     print(
