@@ -24,29 +24,32 @@ from artist_style_transfer_tpu.ops.image import (
 )
 
 
-def _classify_stylized(out, clf_params, classify) -> jax.Array:
+def _classify_stylized(out, clf_params, classify, crop_size: int = 256) -> jax.Array:
     # The reference quantizes to uint8 before the classifier transform
     # (inference.py:116 -> :154); reproduce the rounding.
     out = jnp.floor(jnp.clip(out.astype(jnp.float32), 0.0, 255.0))
-    crop = center_crop(out, 256)
+    crop = center_crop(out, crop_size)
     rgb01 = bgr_to_rgb(crop) / 255.0
     logits = classify(clf_params, torchvision_normalize(rgb01))
     return jnp.argmax(logits, axis=-1)
 
 
 def _eval_core(params, clf_params, images_bgr_255: jax.Array,
-               fold_batch: bool = False) -> jax.Array:
+               fold_batch: bool = False, crop_size: int = 256) -> jax.Array:
     """Predicted class per image: stylize -> uint8 clip -> crop -> classify.
 
     ``fold_batch``: batch->H folded shallow transformer layers (fast
     precision only; no-op for unfoldable shapes). Off by default — the
     direct path is the dispatched winner (715.8 vs 644 img/s, BENCH_NOTES)
-    and fresh folded compiles crash the round-3/4 TPU compile helper."""
+    and fresh folded compiles crash the round-3/4 TPU compile helper.
+    ``crop_size``: reference parity is 256 (inference.py:56-59); smaller
+    values exist for sharding dry-runs/tests at tiny static shapes."""
     out = transformer_apply(params, images_bgr_255, fold_batch=fold_batch)
-    return _classify_stylized(out, clf_params, classifier_apply)
+    return _classify_stylized(out, clf_params, classifier_apply, crop_size)
 
 
-def _eval_core_int8(qparams, qclf_params, images_bgr_255: jax.Array) -> jax.Array:
+def _eval_core_int8(qparams, qclf_params, images_bgr_255: jax.Array,
+                    crop_size: int = 256) -> jax.Array:
     """Int8-MXU eval: quantized stylizer + quantized frozen classifier.
 
     Both halves of the pipeline are forward-only here, so both ride the
@@ -58,11 +61,11 @@ def _eval_core_int8(qparams, qclf_params, images_bgr_255: jax.Array) -> jax.Arra
     from artist_style_transfer_tpu.models.transformer_q import transformer_apply_int8
 
     out = transformer_apply_int8(qparams, images_bgr_255, accum=jnp.bfloat16)
-    return _classify_stylized(out, qclf_params, classifier_apply_int8)
+    return _classify_stylized(out, qclf_params, classifier_apply_int8, crop_size)
 
 
-_eval_batch = jax.jit(_eval_core, static_argnames=("fold_batch",))
-_eval_batch_int8 = jax.jit(_eval_core_int8)
+_eval_batch = jax.jit(_eval_core, static_argnames=("fold_batch", "crop_size"))
+_eval_batch_int8 = jax.jit(_eval_core_int8, static_argnames=("crop_size",))
 
 
 def quantize_eval_pipeline(params, classifier_params, calib_images):
@@ -83,7 +86,7 @@ def quantize_eval_pipeline(params, classifier_params, calib_images):
 
 
 @functools.lru_cache(maxsize=None)
-def _eval_batch_sharded(mesh):
+def _eval_batch_sharded(mesh, crop_size: int = 256):
     """Mesh variant: batch sharded over 'data', params replicated, and each
     device runs the batch->H fold on its LOCAL shard under shard_map (a
     global fold would merge the sharded batch axis into H and force
@@ -91,7 +94,7 @@ def _eval_batch_sharded(mesh):
     from jax.sharding import PartitionSpec as P
 
     def local(params, clf_params, images):
-        return _eval_core(params, clf_params, images, True)
+        return _eval_core(params, clf_params, images, True, crop_size)
 
     return jax.jit(
         jax.shard_map(
@@ -112,6 +115,7 @@ def evaluate_with_classifier(
     mesh=None,
     quantize: bool = False,
     fold_batch: bool = False,
+    crop_size: int = 256,
 ) -> float:
     """Top-1 accuracy of the classifier recognizing the target artist.
 
@@ -138,6 +142,12 @@ def evaluate_with_classifier(
     crash matching that known signature latches the process-wide direct
     fallback (``infer.stylize._fold_broken``); other runtime errors
     propagate.
+
+    ``crop_size``: the eval transform's center crop. Reference parity is
+    256 (inference.py:56-59) — leave it there for real evaluations;
+    smaller values exist so the multi-chip dry-run and its pytest twin
+    can exercise the identical GSPMD int8 pipeline composition at tiny
+    static shapes (the machinery is shape-independent).
     """
     if quantize:
         calib = [np.asarray(content_images[i]) for i in range(min(2, len(content_images)))]
@@ -172,18 +182,19 @@ def evaluate_with_classifier(
     _stylize_mod = importlib.import_module("artist_style_transfer_tpu.infer.stylize")
 
     fallback = None
+    direct = functools.partial(_eval_batch, fold_batch=False, crop_size=crop_size)
     if quantize:
-        run = _eval_batch_int8
+        run = functools.partial(_eval_batch_int8, crop_size=crop_size)
     elif not fold_batch or _stylize_mod._fold_broken:
-        run = functools.partial(_eval_batch, fold_batch=False)
+        run = direct
     elif mesh is not None and batch_size % mesh.devices.size == 0:
-        run = _eval_batch_sharded(mesh)
-        fallback = functools.partial(_eval_batch, fold_batch=False)
+        run = _eval_batch_sharded(mesh, crop_size)
+        fallback = direct
     elif mesh is not None:
-        run = functools.partial(_eval_batch, fold_batch=False)
+        run = direct
     else:
-        run = functools.partial(_eval_batch, fold_batch=True)
-        fallback = functools.partial(_eval_batch, fold_batch=False)
+        run = functools.partial(_eval_batch, fold_batch=True, crop_size=crop_size)
+        fallback = direct
     n = len(content_images)
     preds = np.zeros((n,), np.int64)
     by_shape: dict[tuple, list[int]] = {}

@@ -72,8 +72,11 @@ def test_leg_classifier_bf16_int8_loss(mesh):
 
 @pytest.mark.slow
 def test_leg_eval_int8(mesh):
+    # Same tiny static shapes as the dryrun leg (round 5: 64 px, crop 64 —
+    # the GSPMD int8 machinery is shape-independent and the eval-sized
+    # compile made this the one budget-cut leg in round 4).
     with precision("default"):
-        acc = ge._dryrun_eval(mesh, N_DEV, quantize=True)
+        acc = ge._dryrun_eval(mesh, N_DEV, quantize=True, size=64, crop_size=64)
     assert 0.0 <= acc <= 100.0
 
 
