@@ -45,21 +45,32 @@ DDPM_CHUNK = 32  # relay execution-length limit (BENCH_NOTES round 4)
 
 
 def make_synthetic(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """(images NHWC BGR [0,255], labels) — class-structured distribution."""
+    """(images NHWC BGR [0,255], labels) — class-structured distribution.
+
+    High-frequency class-oriented gratings (random frequency/phase) under
+    a class-colored Gaussian blob. The fine texture is deliberate: a
+    first-draft smooth-gradient dataset measured a FLAT CFID curve across
+    DDIM step counts (every sampler reproduces a blur trivially); few-step
+    samplers measurably degrade high-frequency content, which is what a
+    quality-vs-steps curve needs to expose.
+    """
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, NUM_CLASSES, size=n)
     yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32) / (SIZE - 1)
     imgs = np.zeros((n, SIZE, SIZE, 3), np.float32)
     for i in range(n):
         c = labels[i]
-        base = yy if c == 0 else xx  # class-dependent gradient orientation
-        img = np.stack([base * 120 + 40] * 3, axis=-1)
+        axis = yy if c == 0 else xx  # class-dependent grating orientation
+        freq = rng.uniform(5.0, 9.0)
+        phase = rng.uniform(0.0, 2 * np.pi)
+        grating = np.sin(2 * np.pi * freq * axis + phase)
+        img = np.stack([110 + 70 * grating] * 3, axis=-1)
         # class-colored blob at a random position (B, G, R channel order)
         cy, cx = rng.uniform(0.25, 0.75, size=2)
         sig = rng.uniform(0.10, 0.18)
         blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig * sig)))
         chan = 0 if c == 0 else 2  # class 0: blue blob; class 1: red blob
-        img[..., chan] += 160 * blob
+        img[..., chan] += 120 * blob
         img += rng.normal(0.0, 4.0, img.shape)
         imgs[i] = np.clip(img, 0, 255)
     return imgs, labels.astype(np.int64)
@@ -126,8 +137,8 @@ def main() -> None:
 
     configs = [
         "ddpm-1000",
-        "ddim-50", "ddim-20", "ddim-10", "ddim-5",
-        "dpmpp-20", "dpmpp-12", "dpmpp-8", "dpmpp-4",
+        "ddim-50", "ddim-20", "ddim-10", "ddim-5", "ddim-3", "ddim-2",
+        "dpmpp-20", "dpmpp-12", "dpmpp-8", "dpmpp-4", "dpmpp-2",
     ]
     curve: dict[str, dict] = {}
     floor = cfid(clf, real, held_out)
