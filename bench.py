@@ -492,7 +492,8 @@ def main() -> None:
     enable_compilation_cache()
 
     if "--eval" in sys.argv:
-        print(json.dumps(_eval_record(quantize="--quantize" in sys.argv)))
+        q = "--quantize" in sys.argv
+        print(json.dumps(_eval_record(quantize=q, config=("int8" if q else "bf16") + " b128/288")))
         return
     if "--train" in sys.argv:
         # "auto" resolves to the direct (unfolded) path — the batch->H fold
@@ -510,33 +511,57 @@ def main() -> None:
             i = sys.argv.index("--qat")
             nxt = sys.argv[i + 1] if i + 1 < len(sys.argv) else ""
             qat = nxt if nxt in ("trunk", "all") else True
-        print(json.dumps(_train_record(quantize_loss=ql, qat=qat)))
+        cfg = "b128/224"
+        if ql:
+            cfg = f"int8-loss {'deep' if ql is True else ql} " + cfg
+        if qat:
+            cfg = f"qat {'trunk' if qat is True else qat} " + cfg
+        print(json.dumps(_train_record(quantize_loss=ql, qat=qat, config=cfg)))
         return
 
     # Default (the driver's end-of-round run): ALL THREE headline metrics.
     # The train and eval lines print FIRST — the driver parses the FINAL
     # line as the headline and records the earlier ones as captured tail
     # evidence (VERDICT r4 #2: the unmet 1k train target and the eval
-    # numbers were previously builder-recorded only). Each extra leg is
-    # fail-soft: the stylize headline must always print, even if a
-    # toolchain change breaks a train/eval compile.
+    # numbers were previously builder-recorded only). Each extra leg runs
+    # in its OWN SUBPROCESS (sequential — still one TPU process at a
+    # time): measured in-process, the train leg's residual device state
+    # depressed the following eval reading 15% (2527 vs 2968 img/s solo);
+    # isolation also makes the legs fail-soft, so the stylize headline
+    # always prints even if a toolchain change breaks a train/eval
+    # compile.
     if "--headline-only" not in sys.argv:
+        import subprocess
+
         extras = (
             # the dispatched train fast path (int8 frozen-VGG loss, b128) —
             # the number measured against the 1,000 img/s single-chip target
-            lambda: _train_record(quantize_loss="deep", config="int8-loss deep b128/224"),
+            ["--train", "--quantize-loss", "deep"],
             # the dispatched eval fast path (int8 stylizer + int8 ResNet-50)
-            lambda: _eval_record(quantize=True, config="int8 b128/288"),
+            ["--eval", "--quantize"],
         )
-        for thunk in extras:
+        for leg_args in extras:
             try:
-                print(json.dumps(thunk()), flush=True)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), *leg_args],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                lines = [
+                    ln for ln in out.stdout.splitlines() if ln.startswith("{")
+                ]
+                if out.returncode != 0 or not lines:
+                    raise RuntimeError(
+                        f"leg {leg_args} rc={out.returncode}: "
+                        f"{(out.stderr or out.stdout)[-300:]}"
+                    )
+                print(lines[-1], flush=True)
             except Exception as e:  # fail-soft: never block the headline
                 print(
                     json.dumps(
                         {
                             "metric": "bench_extra_leg_failed",
-                            "error": f"{type(e).__name__}: {e}",
+                            "leg": " ".join(leg_args),
+                            "error": f"{type(e).__name__}: {str(e)[-300:]}",
                         }
                     ),
                     flush=True,
