@@ -20,10 +20,19 @@ the current toolchain and measures each candidate lever:
   sgshallow  both shallow taps' gram branches stopped
   swap       gram VJP contracts sym's other index (sym is symmetric, so
              numerics are identical; XLA may pick different layouts)
+  outswap    seed dot produces (N,C,H,W), transposed back — yet another
+             canonical form for layout assignment
   f32seed    seed matmul computed on f32-cast features
+  int8gram   ALL taps on the int8-MXU gram (production gates C>=256;
+             this measures the shallow case directly)
   conv1x1    seed matmul df = F.sym expressed as grouped 1x1 convs is NOT
              implemented: feature_group_count lowering measured 4.3x
              slower than direct conv in round 2 (BENCH_NOTES) — closed.
+
+Round-5 measured results (one v5e chip): fwd 22.0 / dgrad 58.1 / loss
+79.0-79.2 / sg11 65.4 / sg22 75.6 / sgshallow 61.7 / swap 78.9 /
+outswap 79.0 / f32seed 79.0 / int8gram 88.9 ms — see BENCH_NOTES
+"Round 5: the gram-seed/dgrad lever".
 
 All legs grad w.r.t. the generated image (the cotangent the transformer
 backward consumes), b128/224 bf16, chained-scan timing with min-of-5 and
@@ -116,7 +125,13 @@ def make_loss(gram_kind="base", sg=()):
     oversized compile request with HTTP 413). ``r22_t`` is (1, ...) and
     broadcasts inside the MSE.
     """
-    gram = make_gram(gram_kind)
+    if gram_kind == "int8":
+        # ALL taps on the int8-MXU gram (production gates it to C>=256;
+        # this leg measures the shallow-tap case directly instead of by
+        # analogy with the quantize_loss conv split-point sweep).
+        from artist_style_transfer_tpu.ops.gram import gram_matrix_int8 as gram
+    else:
+        gram = make_gram(gram_kind)
 
     def loss(gen, vgg_p, r22_t, grams_t):
         feats = vgg16_features(vgg_p, vgg_caffe_preprocess(gen))
@@ -199,6 +214,7 @@ def main():
         "swap": (make_loss(gram_kind="swap"), True),
         "outswap": (make_loss(gram_kind="outswap"), True),
         "f32seed": (make_loss(gram_kind="f32seed"), True),
+        "int8gram": (make_loss(gram_kind="int8"), True),
     }
     names = sys.argv[1:] or list(legs)
     results = {}
