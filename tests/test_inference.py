@@ -224,7 +224,7 @@ def test_evaluate_folded_compile_crash_falls_back(monkeypatch):
     real = E._eval_batch
     calls = []
 
-    def fake(params, clf_params, images, fold_batch=False):
+    def fake(params, clf_params, images, fold_batch=False, crop_size=256):
         calls.append(fold_batch)
         if fold_batch:
             raise jax.errors.JaxRuntimeError(_CRASH_MSG)
@@ -258,7 +258,7 @@ def test_evaluate_default_never_folds(monkeypatch):
     real = E._eval_batch
     calls = []
 
-    def fake(params, clf_params, images, fold_batch=False):
+    def fake(params, clf_params, images, fold_batch=False, crop_size=256):
         calls.append(fold_batch)
         return real(params, clf_params, images, fold_batch=False)
 
@@ -280,7 +280,7 @@ def test_evaluate_non_compile_runtime_error_propagates(monkeypatch):
     clf = init_classifier_params(jax.random.key(1))
     content = (np.random.default_rng(2).random((2, 288, 288, 3)) * 255).astype(np.float32)
 
-    def fake(params, clf_params, images, fold_batch=False):
+    def fake(params, clf_params, images, fold_batch=False, crop_size=256):
         raise jax.errors.JaxRuntimeError("DATA_LOSS: relay stream reset mid-transfer")
 
     monkeypatch.setattr(E, "_eval_batch", fake)
