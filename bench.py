@@ -540,11 +540,28 @@ def main() -> None:
             # the dispatched eval fast path (int8 stylizer + int8 ResNet-50)
             ["--eval", "--quantize"],
         )
+        # Elapsed budget for the extras: the stylize headline MUST print
+        # last before any outer driver timeout — a run killed mid-extras
+        # would leave a train/eval line as the final (parsed) line. A full
+        # warm default run measures ~14 min; cold compiles can exceed it.
+        budget_s = float(os.environ.get("GRAFT_BENCH_EXTRA_BUDGET_S", "1500"))
+        t0 = time.monotonic()
         for leg_args in extras:
+            if time.monotonic() - t0 > budget_s:
+                print(
+                    json.dumps(
+                        {"metric": "bench_extra_leg_skipped",
+                         "leg": " ".join(leg_args),
+                         "reason": f"extras over budget ({budget_s:.0f}s)"}
+                    ),
+                    flush=True,
+                )
+                continue
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), *leg_args],
-                    capture_output=True, text=True, timeout=3600,
+                    capture_output=True, text=True,
+                    timeout=max(60.0, budget_s - (time.monotonic() - t0)),
                 )
                 lines = [
                     ln for ln in out.stdout.splitlines() if ln.startswith("{")
