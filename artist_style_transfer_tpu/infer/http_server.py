@@ -201,20 +201,60 @@ class _Handler(BaseHTTPRequestHandler):
         state = ctx["clf_state"]
         srv = state["server"]
         if srv is None:
+            # Single-flight cold start: exactly ONE request runs the slow
+            # quantize+compile build (outside the lock — holding it would
+            # serialize every request behind minutes of compile); the
+            # others wait on the event. Without the single-flight guard, N
+            # concurrent cold requests would run N simultaneous builds
+            # against the one relayed chip.
+            do_build = False
             with state["lock"]:
                 if state.get("closed"):
                     return self._error(503, "server is shutting down")
-            built = self._build_classify_server(ctx)  # slow; NOT under the lock
-            with state["lock"]:
-                if not state.get("closed") and state["server"] is None:
-                    state["server"] = built  # we won the publish race
-                    built = None
-                closed = state.get("closed", False)
-                srv = state["server"]
-            if built is not None:  # lost the race (or closing): discard ours
-                built.close(timeout=0)
-            if closed or srv is None:
-                return self._error(503, "server is shutting down")
+                evt = state.get("building")
+                if state["server"] is None and evt is None:
+                    evt = state["building"] = threading.Event()
+                    do_build = True
+            if do_build:
+                built = err = None
+                try:
+                    built = self._build_classify_server(ctx)  # slow; lock NOT held
+                except Exception as e:  # report as 500, not a dead socket
+                    err = e
+                finally:
+                    with state["lock"]:
+                        if (
+                            built is not None
+                            and not state.get("closed")
+                            and state["server"] is None
+                        ):
+                            state["server"] = built  # publish
+                            built = None
+                        state["building"] = None
+                        closed = state.get("closed", False)
+                        srv = state["server"]
+                    evt.set()  # wake waiters whether we published or failed
+                if built is not None:  # closing: discard the spare batcher
+                    built.close(timeout=0)
+                if err is not None:
+                    return self._error(
+                        500, f"classifier init failed: {type(err).__name__}: {err}"
+                    )
+                if closed or srv is None:
+                    return self._error(503, "server is shutting down")
+            else:
+                if evt is not None and not evt.wait(timeout=ctx["timeout_s"]):
+                    return self._error(503, "classifier is still initializing")
+                with state["lock"]:
+                    closed = state.get("closed", False)
+                    srv = state["server"]
+                if closed or srv is None:
+                    return self._error(
+                        503,
+                        "server is shutting down"
+                        if closed
+                        else "classifier initialization failed; retry",
+                    )
         # Eval transform generalized to arbitrary sizes: shorter side to
         # 256, center crop 256 (reference CenterCrop(256), inference.py:56-59).
         h, w = img.shape[:2]
@@ -375,7 +415,11 @@ def make_http_server(
                 "classifier_params": classifier_params,
                 "clf_max_batch": int(classify_max_batch),
                 "clf_max_wait_ms": float(classify_max_wait_ms),
-                "clf_state": {"lock": threading.Lock(), "server": None},
+                "clf_state": {
+                    "lock": threading.Lock(),
+                    "server": None,
+                    "building": None,  # Event while one request runs the build
+                },
             }
         },
     )

@@ -115,9 +115,18 @@ def spatial_wgrad_selfcheck(mesh) -> float:
 
     grad = jax.jit(jax.grad(loss, argnums=1))
     dw_ref = np.asarray(grad(jnp.asarray(x_np), jnp.asarray(w_np)))
-    x_sh = jax.device_put(jnp.asarray(x_np), NamedSharding(mesh, P(None, "space")))
-    w_rep = jax.device_put(jnp.asarray(w_np), NamedSharding(mesh, P()))
-    dw_sh = np.asarray(grad(x_sh, w_rep))
+    # make_array_from_callback (each process supplies its addressable
+    # shards) instead of device_put of a host array: on a multi-PROCESS
+    # mesh device_put to a sharding spanning non-addressable devices
+    # raises, and real multihost TPU is exactly where this gate must run.
+    xs = NamedSharding(mesh, P(None, "space"))
+    ws = NamedSharding(mesh, P())
+    x_sh = jax.make_array_from_callback(x_np.shape, xs, lambda idx: x_np[idx])
+    w_rep = jax.make_array_from_callback(w_np.shape, ws, lambda idx: w_np[idx])
+    # out replicated => every process can read the full gradient
+    dw_sh = np.asarray(
+        jax.jit(jax.grad(loss, argnums=1), out_shardings=ws)(x_sh, w_rep)
+    )
     return float(np.max(np.abs(dw_sh - dw_ref)) / (np.max(np.abs(dw_ref)) + 1e-12))
 
 

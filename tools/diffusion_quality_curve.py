@@ -32,11 +32,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIZE = 32
 NUM_CLASSES = 2
 N_REAL = 256
@@ -78,7 +77,7 @@ def make_synthetic(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=80)  # the committed artifact config
     ap.add_argument("--base-channels", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "tests", "goldens",
                                                   "diffusion_cfid_curve.json"))

@@ -44,10 +44,11 @@ Usage: python tools/loss_split.py [legs...]   (default: all)
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -147,22 +148,15 @@ def make_loss(gram_kind="base", sg=()):
     return loss
 
 
-def make_dgrad_unit():
-    """fwd + input gradient with unit seeds on all taps (no grams)."""
+def make_feature_sum():
+    """Sum of all taps: the 'fwd' leg runs it forward-only; the 'dgrad' leg
+    takes its input gradient, whose tap cotangents are UNIT seeds."""
 
     def pseudo(gen, vgg_p, r22_t, grams_t):
         feats = vgg16_features(vgg_p, vgg_caffe_preprocess(gen))
         return sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
 
     return pseudo
-
-
-def make_fwd_only():
-    def fwd(gen, vgg_p, r22_t, grams_t):
-        feats = vgg16_features(vgg_p, vgg_caffe_preprocess(gen))
-        return sum(jnp.sum(f.astype(jnp.float32)) for f in feats.values())
-
-    return fwd
 
 
 def chain_timer(fn, x0, grad: bool, *extra):
@@ -205,8 +199,8 @@ def main():
     r22_target = pf["relu2_2"][:1].astype(jnp.bfloat16)  # broadcasts in the MSE
 
     legs = {
-        "fwd": (make_fwd_only(), False),
-        "dgrad": (make_dgrad_unit(), True),
+        "fwd": (make_feature_sum(), False),
+        "dgrad": (make_feature_sum(), True),
         "loss": (make_loss(), True),
         "sg11": (make_loss(sg=("relu1_2",)), True),
         "sg22": (make_loss(sg=("relu2_2",)), True),
